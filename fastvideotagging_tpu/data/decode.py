@@ -1,0 +1,121 @@
+"""Video decode via cv2's bundled FFmpeg (SURVEY.md C2, N3).
+
+The reference leaned on FFmpeg/NVVL for decode; on this box the only decode
+path is ``cv2.VideoCapture`` (no standalone ffmpeg binary — SURVEY.md §0 [E]).
+Decode runs in host worker threads; frames leave this module as raw uint8 THWC
+stacks, and all arithmetic preprocessing happens on-device.
+
+Fault policy (SURVEY.md §6.3): decode errors are the #1 real-world failure in
+video pipelines. A frame that fails to decode is replaced by the last good
+frame; a video with zero decodable frames raises ``DecodeError`` (the loader
+converts that to skip-and-log).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # cv2 is present in this environment [E]; gate anyway for safety.
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class DecodeError(RuntimeError):
+    """Raised when a video yields no decodable frames."""
+
+
+def _require_cv2():
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("opencv-python is required for video decode")
+
+
+def probe_video(path: str) -> tuple[int, float, int, int]:
+    """Return (num_frames, fps, height, width) for a video file.
+
+    Some containers report a bogus frame count; callers should treat this as
+    an upper bound — ``read_frames_at`` wraps/fills defensively.
+    """
+    _require_cv2()
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise DecodeError(f"cannot open video: {path}")
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        return n, fps, h, w
+    finally:
+        cap.release()
+
+
+def read_frames_at(path: str, indices: np.ndarray) -> np.ndarray:
+    """Decode frames at the given indices. Returns RGB uint8 (len(indices), H, W, 3).
+
+    Single sequential pass with ``grab()`` (fast frame skip, no per-frame
+    decode) and ``retrieve()`` only at wanted indices — seeking per-index is
+    pathologically slow on long-GOP codecs.
+    """
+    _require_cv2()
+    indices = np.asarray(indices, dtype=np.int64).reshape(-1)
+    order = np.argsort(indices, kind="stable")
+    sorted_idx = indices[order]
+
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise DecodeError(f"cannot open video: {path}")
+        wanted = {}
+        pos = 0  # next frame number grab() will consume
+        last_good = None
+        max_idx = int(sorted_idx[-1])
+        k = 0
+        while pos <= max_idx and k < len(sorted_idx):
+            ok = cap.grab()
+            if not ok:
+                break
+            if pos == sorted_idx[k]:
+                ok, frame = cap.retrieve()
+                if ok and frame is not None:
+                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    last_good = rgb
+                else:
+                    rgb = last_good
+                while k < len(sorted_idx) and sorted_idx[k] == pos:
+                    wanted[k] = rgb
+                    k += 1
+            pos += 1
+        if last_good is None:
+            raise DecodeError(f"no decodable frames in: {path}")
+        # Fill any indices past the real end of stream with the last frame.
+        frames_sorted = [
+            wanted.get(i) if wanted.get(i) is not None else last_good
+            for i in range(len(sorted_idx))
+        ]
+        out = np.empty((len(indices),) + last_good.shape, dtype=np.uint8)
+        for dst, src in enumerate(order):
+            out[src] = frames_sorted[dst]
+        return out
+    finally:
+        cap.release()
+
+
+def read_all_frames(path: str, max_frames: int | None = None) -> np.ndarray:
+    """Decode every frame (up to max_frames). Returns RGB uint8 (N, H, W, 3)."""
+    _require_cv2()
+    cap = cv2.VideoCapture(path)
+    frames = []
+    try:
+        if not cap.isOpened():
+            raise DecodeError(f"cannot open video: {path}")
+        while max_frames is None or len(frames) < max_frames:
+            ok, frame = cap.read()
+            if not ok or frame is None:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    finally:
+        cap.release()
+    if not frames:
+        raise DecodeError(f"no decodable frames in: {path}")
+    return np.stack(frames)

@@ -1,0 +1,3 @@
+"""3D-CNN backbones, heads, and the model zoo (SURVEY.md C6-C10)."""
+
+from fastvideotagging_tpu.models.zoo import get_model, list_models  # noqa: F401

@@ -1,0 +1,209 @@
+"""Shared conv/norm building blocks for the video backbones.
+
+All tensors are NTHWC (channels-last — C rides the TPU lane dimension).
+Conv3D lowers to ``lax.conv_general_dilated`` with NDHWC/DHWIO dimension
+numbers, which XLA maps onto the MXU. The factorized (2+1)D spatial and
+temporal convs additionally support a first-party Pallas backend
+(ops/conv2plus1d.py) selected via the ``kernels`` attribute — 'xla' is the
+always-correct fallback and the parity oracle (SURVEY.md N1, §8.3).
+
+Compute dtype policy: params live in float32; activations/compute run in the
+module's ``dtype`` (bfloat16 by default) with f32 accumulation inside convs
+via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Dtype = Any
+
+
+def r2plus1d_mid_channels(cin: int, cout: int, kt: int = 3, kd: int = 3) -> int:
+    """Mid-channel count M matching the full-3D conv parameter budget.
+
+    M = floor( kt*kd^2*cin*cout / (kd^2*cin + kt*cout) )  [Tran'18 CVPR eq. in
+    SURVEY.md C7 — makes param-count a strong architecture checksum].
+    """
+    return (kt * kd * kd * cin * cout) // (kd * kd * cin + kt * cout)
+
+
+def _triple(v) -> tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(v)
+    assert len(t) == 3
+    return t
+
+
+class Conv3D(nn.Module):
+    """3D convolution on NTHWC input, kernel layout (kt, kh, kw, cin, cout)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Any = "SAME"  # 'SAME' | 'VALID' | explicit [(lo,hi)]*3
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kt, kh, kw = _triple(self.kernel_size)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kt, kh, kw, cin, self.features),
+            self.param_dtype,
+        )
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=_triple(self.strides),
+            padding=self.padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class SpatialConv(nn.Module):
+    """1 x k x k conv — the spatial factor of a (2+1)D conv.
+
+    backend='pallas' routes through the first-party Pallas tap-matmul kernel
+    (ops/conv2plus1d.py); 'xla' through lax.conv_general_dilated.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    backend: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, k, k, cin, self.features),
+            self.param_dtype,
+        )
+        if self.backend == "pallas":
+            from fastvideotagging_tpu.ops import conv2plus1d
+
+            y = conv2plus1d.spatial_conv(
+                x.astype(self.dtype),
+                kernel[0].astype(self.dtype),  # (k, k, cin, cout)
+                stride=self.stride,
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, self.stride, self.stride),
+                padding="SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class TemporalConv(nn.Module):
+    """k x 1 x 1 conv — the temporal factor of a (2+1)D conv."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    backend: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, 1, 1, cin, self.features),
+            self.param_dtype,
+        )
+        if self.backend == "pallas":
+            from fastvideotagging_tpu.ops import conv2plus1d
+
+            y = conv2plus1d.temporal_conv(
+                x.astype(self.dtype),
+                kernel[:, 0, 0].astype(self.dtype),  # (k, cin, cout)
+                stride=self.stride,
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride, 1, 1),
+                padding="SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over (B, T, H, W); stats in f32; optional cross-device sync.
+
+    When ``axis_name`` is set (the data-parallel mesh axis), batch statistics
+    are psum-synced over ICI — the TPU equivalent of SyncBN; None reproduces
+    per-device statistics like the reference's per-GPU BN (SURVEY.md N2).
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=self.axis_name,
+        )(x)
+
+
+def max_pool_3d(x, window, strides=None, padding="VALID"):
+    """Max-pool over (T, H, W) of an NTHWC tensor."""
+    strides = strides or window
+    return nn.max_pool(x, window_shape=_triple(window), strides=_triple(strides),
+                       padding=padding)
+
+
+def global_avg_pool_3d(x):
+    """Mean over (T, H, W): NTHWC -> NC, accumulated in f32."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(x.dtype)

@@ -1,0 +1,126 @@
+"""R(2+1)D backbone (Tran et al. CVPR'18 "A Closer Look at Spatiotemporal
+Convolutions"; SURVEY.md C7).
+
+ResNet-{18,34} layout where every 3x3x3 conv is factorized into a spatial
+1x3x3 conv (with M mid-channels) + BN + ReLU + temporal 3x1x1 conv, with
+M = floor(t*d^2*Nin*Nout / (d^2*Nin + t*Nout)) chosen to match the full-3D
+parameter count. Stem: 1x7x7 s(1,2,2) -> 45 mid-channels -> 3x1x1 -> 64
+(the paper's fixed stem width). Stages 64/128/256/512; both temporal and
+spatial stride 2 at stage entry, applied inside the respective factor.
+Head: global average pool + FC.
+
+This is the flagship model of the rebuild ([B:8] config, the bench target).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fastvideotagging_tpu.models.layers import (
+    BatchNorm,
+    Conv3D,
+    SpatialConv,
+    TemporalConv,
+    global_avg_pool_3d,
+    r2plus1d_mid_channels,
+)
+
+
+class Conv2Plus1D(nn.Module):
+    """Factorized spatiotemporal conv: spatial(1xkxk) -> BN -> ReLU -> temporal(kx1x1)."""
+
+    features: int
+    mid_features: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = SpatialConv(self.mid_features, 3, stride=self.spatial_stride,
+                        backend=self.backend, dtype=self.dtype, name="spatial")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      axis_name=self.bn_axis_name, name="bn_mid")(x)
+        x = nn.relu(x)
+        x = TemporalConv(self.features, 3, stride=self.temporal_stride,
+                         backend=self.backend, dtype=self.dtype, name="temporal")(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1  # applied to (t, h, w) jointly at stage entry
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cin = x.shape[-1]
+        bn = lambda name: BatchNorm(  # noqa: E731
+            use_running_average=not train, dtype=self.dtype,
+            axis_name=self.bn_axis_name, name=name,
+        )
+        residual = x
+        y = Conv2Plus1D(
+            self.features, r2plus1d_mid_channels(cin, self.features),
+            spatial_stride=self.stride, temporal_stride=self.stride,
+            backend=self.backend, dtype=self.dtype, name="conv1",
+        )(x, train)
+        y = nn.relu(bn("bn1")(y))
+        y = Conv2Plus1D(
+            self.features, r2plus1d_mid_channels(self.features, self.features),
+            backend=self.backend, dtype=self.dtype, name="conv2",
+        )(y, train)
+        y = bn("bn2")(y)
+        if self.stride != 1 or cin != self.features:
+            residual = Conv3D(self.features, (1, 1, 1),
+                              strides=(self.stride, self.stride, self.stride),
+                              dtype=self.dtype, name="downsample")(x)
+            residual = bn("bn_down")(residual)
+        return nn.relu(y + residual)
+
+
+class R2Plus1D(nn.Module):
+    stage_blocks: Sequence[int] = (2, 2, 2, 2)  # 18: (2,2,2,2); 34: (3,4,6,3)
+    num_classes: int = 101
+    backend: str = "xla"
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: BatchNorm(  # noqa: E731
+            use_running_average=not train, dtype=self.dtype,
+            axis_name=self.bn_axis_name, name=name,
+        )
+        x = x.astype(self.dtype)
+        # Stem: fixed 45 mid-channels (paper), spatial stride 2.
+        x = SpatialConv(45, 7, stride=2, backend=self.backend, dtype=self.dtype,
+                        name="stem_spatial")(x)
+        x = nn.relu(bn("stem_bn1")(x))
+        x = TemporalConv(64, 3, backend=self.backend, dtype=self.dtype,
+                         name="stem_temporal")(x)
+        x = nn.relu(bn("stem_bn2")(x))
+
+        for stage, num_blocks in enumerate(self.stage_blocks):
+            features = 64 * (2 ** stage)
+            for block in range(num_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BasicBlock(features, stride=stride, backend=self.backend,
+                               dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               name=f"stage{stage + 1}_block{block}")(x, train)
+
+        x = global_avg_pool_3d(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="fc")(x)
+        return logits.astype(jnp.float32)

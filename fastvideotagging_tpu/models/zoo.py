@@ -1,0 +1,70 @@
+"""Model zoo: constructor-by-name registry (SURVEY.md C9; [B:5] "model-zoo
+constructors by name").
+
+    net = get_model("r2plus1d_18", num_classes=101)
+    params = net.init(rng, jnp.zeros((1, 16, 112, 112, 3)), train=False)
+
+Every constructor accepts ``num_classes``, ``backend`` ('xla' | 'pallas' conv
+kernels), ``dtype``, and model-specific kwargs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+
+from fastvideotagging_tpu.models.c3d import C3D
+from fastvideotagging_tpu.models.p3d import P3D
+from fastvideotagging_tpu.models.r2plus1d import R2Plus1D
+
+_REGISTRY: dict[str, Callable[..., nn.Module]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def list_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def get_model(name: str, num_classes: int = 101, **kwargs) -> nn.Module:
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown model {name!r}; available: {list_models()}")
+    return _REGISTRY[name](num_classes=num_classes, **kwargs)
+
+
+@register("c3d")
+def _c3d(num_classes: int, dropout: float = 0.5, **kw) -> nn.Module:
+    kw.pop("backend", None)  # C3D uses full 3D convs; no factorized kernels
+    return C3D(num_classes=num_classes, dropout=dropout, **kw)
+
+
+@register("r2plus1d_18")
+def _r2plus1d_18(num_classes: int, **kw) -> nn.Module:
+    return R2Plus1D(stage_blocks=(2, 2, 2, 2), num_classes=num_classes, **kw)
+
+
+@register("r2plus1d_34")
+def _r2plus1d_34(num_classes: int, **kw) -> nn.Module:
+    return R2Plus1D(stage_blocks=(3, 4, 6, 3), num_classes=num_classes, **kw)
+
+
+@register("p3d_63")
+def _p3d_63(num_classes: int, **kw) -> nn.Module:
+    return P3D(stage_blocks=(3, 4, 6, 3), num_classes=num_classes, **kw)
+
+
+@register("p3d_131")
+def _p3d_131(num_classes: int, **kw) -> nn.Module:
+    return P3D(stage_blocks=(3, 4, 23, 3), num_classes=num_classes, **kw)
+
+
+@register("p3d_199")
+def _p3d_199(num_classes: int, **kw) -> nn.Module:
+    return P3D(stage_blocks=(3, 8, 36, 3), num_classes=num_classes, **kw)

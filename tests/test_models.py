@@ -1,0 +1,168 @@
+"""Model-shape and parameter-count checksum tests (SURVEY.md §5.3).
+
+Shape and param-count checks run under ``jax.eval_shape`` (no FLOPs — big
+backbones at Kinetics shapes are checked structurally without computing);
+real numerics are exercised on tiny shapes and in the integration tier.
+Param counts are strong architecture checksums: the (2+1)D mid-channel
+formula and the P3D block cycle both show up directly in the totals.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvideotagging_tpu.models import get_model, list_models
+from fastvideotagging_tpu.models.layers import r2plus1d_mid_channels
+
+
+def _init_shapes(model, shape):
+    """Shape-only init: returns a pytree of ShapeDtypeStructs."""
+    x = jnp.zeros(shape, jnp.float32)
+    return jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, train=False)
+    )
+
+
+def _apply_shape(model, variables, shape):
+    x = jnp.zeros(shape, jnp.float32)
+    out = jax.eval_shape(
+        lambda v: model.apply(v, x, train=False, mutable=["batch_stats"]),
+        variables,
+    )
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _param_count(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def test_registry():
+    names = list_models()
+    for expected in ["c3d", "r2plus1d_18", "r2plus1d_34", "p3d_63", "p3d_131",
+                     "p3d_199"]:
+        assert expected in names
+    with pytest.raises(ValueError):
+        get_model("not_a_model")
+
+
+def test_mid_channel_formula_golden():
+    # Tran'18: factorized conv matches full-3D param count.
+    assert r2plus1d_mid_channels(64, 64) == 144
+    assert r2plus1d_mid_channels(64, 128) == 230
+    assert r2plus1d_mid_channels(128, 128) == 288
+    assert r2plus1d_mid_channels(128, 256) == 460
+    assert r2plus1d_mid_channels(256, 256) == 576
+    assert r2plus1d_mid_channels(256, 512) == 921
+    assert r2plus1d_mid_channels(512, 512) == 1152
+    # Parameter matching property: |factorized - full3d| / full3d < 1%.
+    for cin, cout in [(64, 64), (64, 128), (256, 512)]:
+        m = r2plus1d_mid_channels(cin, cout)
+        full = 27 * cin * cout
+        fact = 9 * cin * m + 3 * m * cout
+        assert abs(fact - full) / full < 0.01
+
+
+class TestC3D:
+    def test_shapes_and_params(self):
+        model = get_model("c3d", num_classes=101)
+        variables = _init_shapes(model, (2, 16, 112, 112, 3))
+        logits = _apply_shape(model, variables, (2, 16, 112, 112, 3))
+        assert logits.shape == (2, 101)
+        assert logits.dtype == jnp.float32
+        # fc6 must see the paper-exact 8192 = 512 * 1 * 4 * 4 flatten.
+        assert variables["params"]["fc6"]["kernel"].shape == (8192, 4096)
+        # Paper-exact total (with biases): ~78M for 101 classes.
+        n = _param_count(variables)
+        assert 77_000_000 < n < 80_000_000, n
+
+
+class TestR2Plus1D:
+    def test_r2plus1d18_shapes(self):
+        model = get_model("r2plus1d_18", num_classes=101)
+        variables = _init_shapes(model, (2, 16, 112, 112, 3))
+        logits = _apply_shape(model, variables, (2, 16, 112, 112, 3))
+        assert logits.shape == (2, 101)
+        n = _param_count(variables)
+        assert 31_000_000 < n < 34_000_000, n
+
+    def test_r2plus1d18_param_count_golden_400(self):
+        model = get_model("r2plus1d_18", num_classes=400)
+        variables = _init_shapes(model, (1, 4, 32, 32, 3))
+        n = _param_count(variables)
+        # Analytic golden from the per-conv mid-channel spec (SURVEY.md C7):
+        # each factorized conv gets its own M = f(Nin, Nout). Note torchvision
+        # instead computes M once per block and reuses it for conv2, giving
+        # 31,505,325; our spec matches the paper's per-conv parameter budget.
+        assert n == 33_370_839, n
+
+    def test_kinetics_shape(self):
+        model = get_model("r2plus1d_34", num_classes=400)
+        variables = _init_shapes(model, (1, 32, 224, 224, 3))
+        logits = _apply_shape(model, variables, (1, 32, 224, 224, 3))
+        assert logits.shape == (1, 400)
+
+    def test_forward_runs_and_train_updates_batch_stats(self):
+        # Shallow (1,1,1,1) variant: same block code, fraction of the CPU
+        # compile time; full-depth numerics run in the slow/TPU tiers.
+        from fastvideotagging_tpu.models.r2plus1d import R2Plus1D
+
+        model = R2Plus1D(stage_blocks=(1, 1), num_classes=5)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
+        # Always jit whole-model calls: eager op-by-op conv3d on the CPU
+        # backend costs seconds of compile per op; whole-graph jit is fast.
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=False
+        )
+        logits, mutated = jax.jit(
+            lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
+        )(variables, x)
+        assert logits.shape == (2, 5)
+        assert np.isfinite(np.asarray(logits)).all()
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(mutated["batch_stats"])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+class TestP3D:
+    @pytest.mark.parametrize("name,min_m,max_m", [
+        ("p3d_63", 25_000_000, 35_000_000),
+        ("p3d_131", 45_000_000, 60_000_000),
+        ("p3d_199", 60_000_000, 90_000_000),
+    ])
+    def test_shapes_and_scale(self, name, min_m, max_m):
+        model = get_model(name, num_classes=400)
+        variables = _init_shapes(model, (1, 8, 64, 64, 3))
+        logits = _apply_shape(model, variables, (1, 8, 64, 64, 3))
+        assert logits.shape == (1, 400)
+        assert min_m < _param_count(variables) < max_m
+
+    def test_kinetics_shape(self):
+        model = get_model("p3d_63", num_classes=400)
+        variables = _init_shapes(model, (1, 32, 224, 224, 3))
+        logits = _apply_shape(model, variables, (1, 32, 224, 224, 3))
+        assert logits.shape == (1, 400)
+
+    def test_forward_runs(self):
+        # Shallow variant covering all three block types (A, B, C) once.
+        from fastvideotagging_tpu.models.p3d import P3D
+
+        model = P3D(stage_blocks=(3, 1), num_classes=4)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32, 32, 3))
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=False
+        )
+        logits, _ = jax.jit(
+            lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"],
+                                     rngs={"dropout": jax.random.PRNGKey(2)})
+        )(variables, x)
+        assert logits.shape == (1, 4)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_every_block_has_both_factors(self):
+        model = get_model("p3d_63", num_classes=10)
+        variables = _init_shapes(model, (1, 4, 32, 32, 3))
+        params = variables["params"]
+        for key in params:
+            if "block" in key:
+                assert "spatial" in params[key] and "temporal" in params[key]
