@@ -38,6 +38,10 @@ class DataConfig:
     root: str = ""
     train_list: str = ""
     val_list: str = ""
+    # Decoded source size the loader ships to the device. If set, frames go
+    # to HBM raw and the device does the (spec-exact) resize; if None, the
+    # host pre-resizes to resize_hw and the device resize is an identity.
+    source_hw: Optional[Tuple[int, int]] = None
     # Resize target (height, width) before cropping. (128, 171) is the
     # canonical C3D/UCF101 geometry (Tran'15); Kinetics configs use (256, 342).
     resize_hw: Tuple[int, int] = (128, 171)

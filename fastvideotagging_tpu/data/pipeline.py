@@ -1,0 +1,237 @@
+"""Clip loading pipeline: decode workers -> uint8 batches -> device prefetch.
+
+TPU-first split of responsibilities (SURVEY.md §4.4, N5):
+
+* Host worker threads do **decode + frame-index sampling only**, shipping raw
+  uint8 THWC stacks (cv2 releases the GIL inside FFmpeg decode, so threads
+  scale without pickling costs — unlike the reference's multiprocessing
+  loader, there is no serialize/deserialize of frame data at all).
+* All arithmetic (resize/crop/flip/normalize) happens on-device, fused
+  (ops/preprocess_kernel.py).
+* ``device_prefetch`` keeps ``depth`` batches in flight (device_put overlaps
+  H2D DMA with the current step's compute — the double-buffered HBM pipeline
+  [B:5]).
+
+Determinism: every random draw (clip start, crop offsets, flip) comes from
+``sampler.train_rng(seed, epoch, sample_index)`` with a fixed draw order —
+(clip start, crop top, crop left, flip) — so any batch is reproducible from
+(seed, epoch, index) alone, independent of worker scheduling.
+
+Fault policy (SURVEY.md §6.3): a video that fails to decode is skipped with a
+log line and deterministically replaced by the next record, keeping batch
+shapes static.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from fastvideotagging_tpu.config import DataConfig
+from fastvideotagging_tpu.data import decode, sampler
+from fastvideotagging_tpu.data.ucf101 import VideoRecord
+from fastvideotagging_tpu.utils.logging import get_logger
+
+log = get_logger("fvt.data")
+
+
+@dataclasses.dataclass
+class ClipSample:
+    frames: np.ndarray  # (T, H, W, 3) uint8, at ship resolution
+    label: int
+    multihot: np.ndarray | None
+    crop_top: int
+    crop_left: int
+    flip: bool
+
+
+def _ensure_size(frames: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Host-resize (cv2) only if the decoded size differs from the ship size."""
+    h, w = hw
+    if frames.shape[1] == h and frames.shape[2] == w:
+        return frames
+    import cv2
+
+    out = np.empty((frames.shape[0], h, w, 3), dtype=np.uint8)
+    for i in range(frames.shape[0]):
+        out[i] = cv2.resize(frames[i], (w, h), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+class ClipDataset:
+    """Indexable clip source over a list of VideoRecords.
+
+    mode 'train': random clip + random crop/flip per (epoch, index).
+    mode 'eval' : deterministic center/uniform/dense clips, center crop.
+    """
+
+    def __init__(
+        self,
+        records: list[VideoRecord],
+        data_cfg: DataConfig,
+        mode: str = "train",
+        num_tags: int | None = None,
+        seed: int = 0,
+    ):
+        if mode not in ("train", "eval"):
+            raise ValueError(f"mode must be train|eval, got {mode!r}")
+        self.records = records
+        self.cfg = data_cfg
+        self.mode = mode
+        self.num_tags = num_tags
+        self.seed = seed
+        self._nframes_cache: dict[str, int] = {}
+        # Ship resolution: what the host sends to the device. If the config
+        # pins a source size, decode ships raw frames and the device does the
+        # resize (the spec-exact fast path); otherwise host pre-resizes to
+        # resize_hw and the device resize is an identity matmul.
+        self.ship_hw = getattr(data_cfg, "source_hw", None) or data_cfg.resize_hw
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _num_frames(self, rec: VideoRecord) -> int:
+        n = self._nframes_cache.get(rec.path)
+        if n is None:
+            n, _, _, _ = decode.probe_video(rec.path)
+            n = max(int(n), 1)
+            self._nframes_cache[rec.path] = n
+        return n
+
+    def get_train(self, index: int, epoch: int) -> ClipSample:
+        """One training clip; deterministic in (seed, epoch, index)."""
+        s = self.cfg.sampler
+        attempts = 0
+        idx = index
+        while True:
+            rec = self.records[idx % len(self.records)]
+            rng = sampler.train_rng(self.seed, epoch, index)
+            try:
+                n = self._num_frames(rec)
+                frame_idx = sampler.sample_train_indices(n, s.clip_len, s.stride, rng)
+                frames = decode.read_frames_at(rec.path, frame_idx)
+                break
+            except decode.DecodeError as e:
+                log.warning("skipping undecodable %s (%s)", rec.path, e)
+                attempts += 1
+                idx += 1
+                if attempts >= min(len(self.records), 16):
+                    raise
+        frames = _ensure_size(frames, self.ship_hw)
+        rh, rw = self.cfg.resize_hw
+        ch, cw = self.cfg.crop_hw
+        top, left = sampler.random_crop_offsets(rh, rw, ch, cw, rng)
+        flip = bool(self.cfg.random_flip and rng.integers(0, 2))
+        return ClipSample(frames, rec.label if rec.label is not None else -1,
+                          self._multihot(rec), top, left, flip)
+
+    def get_eval_clips(self, index: int) -> tuple[np.ndarray, VideoRecord]:
+        """All eval clips of one video: (K, T, H, W, 3) uint8."""
+        rec = self.records[index]
+        s = self.cfg.sampler
+        n = self._num_frames(rec)
+        idx = sampler.sample_eval_indices(
+            n, s.clip_len, s.stride, mode=s.eval_mode, num_clips=s.num_eval_clips
+        )  # (K, T)
+        flat = decode.read_frames_at(rec.path, idx.reshape(-1))
+        flat = _ensure_size(flat, self.ship_hw)
+        k, t = idx.shape
+        return flat.reshape((k, t) + flat.shape[1:]), rec
+
+    def _multihot(self, rec: VideoRecord) -> np.ndarray | None:
+        if self.num_tags is None:
+            return None
+        return rec.multihot(self.num_tags)
+
+
+def _collate(samples: list[ClipSample]) -> dict[str, np.ndarray]:
+    batch = {
+        "frames": np.stack([s.frames for s in samples]),
+        "labels": np.asarray([s.label for s in samples], np.int32),
+        "crop_tops": np.asarray([s.crop_top for s in samples], np.int32),
+        "crop_lefts": np.asarray([s.crop_left for s in samples], np.int32),
+        "flips": np.asarray([s.flip for s in samples], bool),
+        "weights": np.ones((len(samples),), np.float32),
+    }
+    if samples[0].multihot is not None:
+        batch["multihot"] = np.stack([s.multihot for s in samples])
+    return batch
+
+
+def train_batches(
+    dataset: ClipDataset,
+    batch_size: int,
+    epoch: int,
+    num_workers: int = 8,
+    drop_last: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Shuffled, worker-decoded training batches for one epoch.
+
+    The shuffle permutation is seeded by (seed, epoch); decode runs in a
+    thread pool with a bounded window so at most ~2 batches of futures are in
+    flight (backpressure), and results are consumed in deterministic order.
+    """
+    order = np.random.Generator(
+        np.random.Philox(key=np.uint64(dataset.seed), counter=[0, 0, 0, epoch])
+    ).permutation(len(dataset))
+    usable = len(order) - (len(order) % batch_size) if drop_last else len(order)
+    if usable == 0 and not drop_last:
+        return
+    indices = order[:usable] if usable else order
+
+    with cf.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        window = max(2 * batch_size, num_workers * 2)
+        futures: dict[int, cf.Future] = {}
+        submitted = 0
+
+        def submit_upto(k):
+            nonlocal submitted
+            while submitted < min(k, len(indices)):
+                i = int(indices[submitted])
+                futures[submitted] = pool.submit(dataset.get_train, i, epoch)
+                submitted += 1
+
+        submit_upto(window)
+        buf: list[ClipSample] = []
+        for pos in range(len(indices)):
+            sample = futures.pop(pos).result()
+            submit_upto(pos + 1 + window)
+            buf.append(sample)
+            if len(buf) == batch_size:
+                yield _collate(buf)
+                buf = []
+        if buf and not drop_last:
+            yield _collate(buf)
+
+
+def device_prefetch(batches: Iterator, sharding=None, depth: int = 2) -> Iterator:
+    """Keep ``depth`` batches resident on-device ahead of the consumer.
+
+    ``jax.device_put`` is async: the H2D DMA of batch k+1..k+depth overlaps
+    the model step on batch k — the double-buffered HBM prefetch of [B:5].
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def put(b):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), b)
+        return jax.tree.map(jax.device_put, b)
+
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield queue.popleft()

@@ -1,0 +1,105 @@
+"""Multi-clip evaluation (SURVEY.md C16, §4.5).
+
+Per video: K deterministic clips (center/uniform/dense per config) -> batched
+forward -> scores -> **mean over clips in clip order, f32 accumulation** ->
+video-level prediction. The fixed clip order + f32 sum is the "bit-for-bit at
+eval" contract [B:5]: rerunning eval yields bitwise-identical video scores.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvideotagging_tpu.config import ExperimentConfig
+from fastvideotagging_tpu.data.pipeline import ClipDataset
+from fastvideotagging_tpu.models import get_model, heads
+from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_eval_clip
+from fastvideotagging_tpu.train.metrics import (
+    mean_average_precision,
+    per_tag_precision_recall,
+    topk_accuracy,
+)
+from fastvideotagging_tpu.utils.logging import get_logger
+
+log = get_logger("fvt.eval")
+
+
+def _forward_scores(model, variables, clips, multilabel, clip_batch=8):
+    """Forward (K,T,ch,cw,3) clips in fixed-size chunks; returns (K,C) f32.
+
+    Chunks are padded to clip_batch so only one program shape is compiled.
+    """
+    apply = jax.jit(
+        lambda v, x: heads.predict_scores(
+            model.apply(v, x, train=False), multilabel
+        )
+    )
+    k = clips.shape[0]
+    out = []
+    for i in range(0, k, clip_batch):
+        chunk = clips[i : i + clip_batch]
+        n = chunk.shape[0]
+        if n < clip_batch:
+            pad = jnp.zeros((clip_batch - n,) + tuple(chunk.shape[1:]), chunk.dtype)
+            chunk = jnp.concatenate([chunk, pad], axis=0)
+        out.append(np.asarray(apply(variables, chunk))[:n])
+    return np.concatenate(out, axis=0)
+
+
+def evaluate_video_scores(
+    model, variables, dataset: ClipDataset, cfg: ExperimentConfig,
+    clip_batch: int = 8,
+) -> tuple[np.ndarray, list]:
+    """Per-video aggregated scores. Returns (scores (N,C) f32, records)."""
+    d = cfg.data
+    multilabel = cfg.model.multilabel
+    all_scores = []
+    for i in range(len(dataset)):
+        clips_u8, _rec = dataset.get_eval_clips(i)
+        clips = preprocess_eval_clip(
+            clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
+            out_dtype_name=cfg.model.compute_dtype,
+        )
+        scores = _forward_scores(model, variables, clips, multilabel, clip_batch)
+        # Aggregation spec: f32 sum in clip order, divided by clip count.
+        video = scores.astype(np.float32).sum(axis=0) / scores.shape[0]
+        all_scores.append(video)
+    return np.stack(all_scores), dataset.records
+
+
+def evaluate(
+    model, variables, dataset: ClipDataset, cfg: ExperimentConfig,
+    clip_batch: int = 8, threshold: float = 0.5,
+) -> dict:
+    """Full eval pass -> scalar metrics dict."""
+    scores, records = evaluate_video_scores(model, variables, dataset, cfg,
+                                            clip_batch)
+    out: dict = {"num_videos": len(records)}
+    if cfg.model.multilabel:
+        multihot = np.stack([r.multihot(cfg.model.num_classes) for r in records])
+        pr = per_tag_precision_recall(scores, multihot, threshold)
+        out["mAP"] = mean_average_precision(scores, multihot)
+        out["macro_f1"] = float(pr["f1"].mean())
+    else:
+        labels = np.asarray([r.label for r in records])
+        out["top1"] = topk_accuracy(scores, labels, k=1)
+        out["top5"] = topk_accuracy(scores, labels, k=min(5, scores.shape[1]))
+    return out
+
+
+def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
+                 clip_batch: int = 8):
+    """Builds the per-epoch eval hook used by train.fit."""
+    dataset = ClipDataset(val_records, cfg.data, mode="eval", num_tags=num_tags)
+    model = get_model(cfg.model.name, num_classes=cfg.model.num_classes,
+                      backend=cfg.model.kernels, dropout=cfg.model.dropout)
+
+    def eval_fn(state, epoch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        scalars = evaluate(model, variables, dataset, cfg, clip_batch)
+        log.info("epoch %d eval: %s", epoch, scalars)
+        return scalars
+
+    return eval_fn

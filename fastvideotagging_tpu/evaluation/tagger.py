@@ -1,0 +1,136 @@
+"""tag(video): the one-call inference entrypoint (SURVEY.md C17, §4.2; [B:5]
+"one-call tag(video) inference entrypoint", [B:10] dense sampling on
+long-form video).
+
+Pipeline: decode -> dense/uniform clip sampling -> fused device preprocess ->
+batched forward (fixed-size chunks, one compiled shape) -> sigmoid/softmax ->
+f32 mean over clips -> [(tag, score), ...] above threshold.
+
+Long-form videos stream: clips are decoded and scored in bounded chunks, so
+memory is O(chunk), not O(video length) — the reference's long-context
+mechanism (SURVEY.md §6.7), preserved exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from fastvideotagging_tpu.config import ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig
+from fastvideotagging_tpu.data import decode, sampler
+from fastvideotagging_tpu.data.pipeline import _ensure_size
+from fastvideotagging_tpu.models import get_model, heads
+from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_eval_clip
+
+
+@dataclasses.dataclass
+class TagResult:
+    tag: str
+    score: float
+    index: int
+
+
+class Tagger:
+    """Reusable tagger: holds the model, weights, and compiled forward."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        variables: dict,
+        tag_names: list[str] | None = None,
+        clip_batch: int = 8,
+    ):
+        self.cfg = cfg
+        self.variables = variables
+        self.clip_batch = clip_batch
+        k = cfg.model.num_classes
+        self.tag_names = tag_names or [f"tag_{i}" for i in range(k)]
+        if len(self.tag_names) != k:
+            raise ValueError(
+                f"{len(self.tag_names)} tag names for {k} classes"
+            )
+        model = get_model(cfg.model.name, num_classes=k,
+                          backend=cfg.model.kernels, dropout=cfg.model.dropout)
+        self._apply = jax.jit(
+            lambda v, x: heads.predict_scores(
+                model.apply(v, x, train=False), cfg.model.multilabel
+            )
+        )
+
+    def video_scores(self, video_path: str) -> np.ndarray:
+        """Aggregated per-tag scores for one video, streaming over clips."""
+        d = self.cfg.data
+        s = d.sampler
+        n, _, _, _ = decode.probe_video(video_path)
+        clip_idx = sampler.sample_eval_indices(
+            max(int(n), 1), s.clip_len, s.stride, mode=s.eval_mode,
+            num_clips=s.num_eval_clips,
+        )  # (K, T)
+        k = clip_idx.shape[0]
+        total = np.zeros((self.cfg.model.num_classes,), np.float64)
+        ship_hw = d.source_hw or d.resize_hw
+        for i in range(0, k, self.clip_batch):
+            chunk_idx = clip_idx[i : i + self.clip_batch]
+            nclips, t = chunk_idx.shape
+            flat = decode.read_frames_at(video_path, chunk_idx.reshape(-1))
+            flat = _ensure_size(flat, ship_hw)
+            clips_u8 = flat.reshape((nclips, t) + flat.shape[1:])
+            if nclips < self.clip_batch:  # pad to the compiled shape
+                pad = np.zeros((self.clip_batch - nclips,) + clips_u8.shape[1:],
+                               np.uint8)
+                clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+            clips = preprocess_eval_clip(
+                clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
+                out_dtype_name=self.cfg.model.compute_dtype,
+            )
+            scores = np.asarray(self._apply(self.variables, clips))[:nclips]
+            total += scores.astype(np.float64).sum(axis=0)
+        return (total / k).astype(np.float32)
+
+    def tag(self, video_path: str, threshold: float = 0.5,
+            top_k: int | None = None) -> list[TagResult]:
+        scores = self.video_scores(video_path)
+        order = np.argsort(-scores, kind="stable")
+        results = [
+            TagResult(self.tag_names[i], float(scores[i]), int(i))
+            for i in order
+            if scores[i] >= threshold
+        ]
+        if top_k is not None:
+            results = results[:top_k]
+        return results
+
+
+def tag(
+    video_path: str,
+    checkpoint: str | None = None,
+    variables: dict | None = None,
+    model_name: str = "r2plus1d_18",
+    num_classes: int = 101,
+    multilabel: bool = True,
+    tag_names: list[str] | None = None,
+    threshold: float = 0.5,
+    top_k: int | None = None,
+    clip_len: int = 16,
+    stride: int = 1,
+    eval_mode: str = "dense",
+    cfg: ExperimentConfig | None = None,
+) -> list[TagResult]:
+    """Convenience one-call API mirroring the reference's inference script."""
+    if cfg is None:
+        cfg = ExperimentConfig(
+            model=ModelConfig(name=model_name, num_classes=num_classes,
+                              multilabel=multilabel),
+            data=DataConfig(sampler=ClipSamplerConfig(
+                clip_len=clip_len, stride=stride, eval_mode=eval_mode)),
+        )
+    if variables is None:
+        if checkpoint is None:
+            raise ValueError("provide either `variables` or `checkpoint`")
+        from fastvideotagging_tpu.train.checkpoint import load_weights
+
+        variables = load_weights(checkpoint)
+    tagger = Tagger(cfg, variables, tag_names)
+    return tagger.tag(video_path, threshold=threshold, top_k=top_k)

@@ -39,6 +39,16 @@ def get_model(name: str, num_classes: int = 101, **kwargs) -> nn.Module:
     return _REGISTRY[name](num_classes=num_classes, **kwargs)
 
 
+@register("tiny3d")
+def _tiny3d(num_classes: int, **kw) -> nn.Module:
+    """Small debug backbone for integration tests and pipeline smoke runs."""
+    from fastvideotagging_tpu.models.tiny3d import Tiny3D
+
+    kw.pop("backend", None)
+    kw.pop("dropout", None)
+    return Tiny3D(num_classes=num_classes, **kw)
+
+
 @register("c3d")
 def _c3d(num_classes: int, dropout: float = 0.5, **kw) -> nn.Module:
     kw.pop("backend", None)  # C3D uses full 3D convs; no factorized kernels

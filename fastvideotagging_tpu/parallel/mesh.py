@@ -1,0 +1,59 @@
+"""Device mesh construction and sharding helpers (SURVEY.md §3.3, N4).
+
+The reference's data parallelism was ``split_and_load`` + NCCL allreduce via
+the MXNet kvstore. The TPU-native equivalent is declarative: build a Mesh
+with axes (data, model), annotate the batch as sharded over ``data`` and
+params as replicated (or channel-sharded over ``model`` for the dual-pathway
+stretch config), and let XLA's SPMD partitioner insert psum/all-gather over
+ICI. One code path from 1 chip to N chips.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data_parallel: int = -1,
+    model_parallel: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (data, model) mesh. data_parallel=-1 -> use all remaining devices.
+
+    The device order follows jax.devices(), which enumerates ICI-adjacent
+    chips contiguously — model-parallel groups land on neighboring chips so
+    the channel all-gathers ride the fastest links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model_parallel < 1 or n % model_parallel != 0:
+        raise ValueError(f"model_parallel={model_parallel} must divide {n} devices")
+    if data_parallel == -1:
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            f"data_parallel*model_parallel = {data_parallel}*{model_parallel} "
+            f"!= {n} devices"
+        )
+    grid = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis, rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays) sharded over the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,75 @@
+"""Checkpoint / resume via orbax (SURVEY.md C15, §6.4).
+
+Improves on the reference's per-epoch ``save_parameters`` (weights-only,
+non-atomic): full train state (params, BN stats, optimizer state, step) at
+step granularity, atomic directory swaps, bounded retention, plus a
+weights-only export for the tag()/serving path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from fastvideotagging_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, extra: dict | None = None) -> None:
+        """extra: fixed schema {"epoch": int} (orbax restore needs a static tree)."""
+        epoch = int((extra or {}).get("epoch", 0))
+        payload = {"state": state, "epoch": np.asarray(epoch, np.int64)}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, target_state: TrainState, step: int | None = None):
+        """Restore into the structure of ``target_state``; returns (state, extra)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None, None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(
+                {"state": abstract, "epoch": np.asarray(0, np.int64)}
+            ),
+        )
+        return restored["state"], {"epoch": int(restored["epoch"])}
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def export_weights(path: str, params: Any, batch_stats: Any) -> None:
+    """Weights-only export for inference (the tag() path)."""
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path),
+              {"params": params, "batch_stats": batch_stats}, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_weights(path: str, abstract: Any | None = None) -> dict:
+    ckpt = ocp.StandardCheckpointer()
+    if abstract is not None:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract)
+    return ckpt.restore(os.path.abspath(path), target=abstract)

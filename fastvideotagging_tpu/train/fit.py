@@ -1,0 +1,116 @@
+"""fit(): the end-to-end training orchestration (SURVEY.md C12, §4.1).
+
+Mirrors the reference's train-script body — epoch/batch loop, periodic
+speed/loss logging, per-epoch checkpoint + eval — on the TPU-native
+substrate: one jitted step (preprocess+fwd+bwd+allreduce+update), uint8
+batches prefetched onto the device mesh, orbax checkpoints with exact resume.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from fastvideotagging_tpu.config import ExperimentConfig
+from fastvideotagging_tpu.data.pipeline import ClipDataset, device_prefetch, train_batches
+from fastvideotagging_tpu.models import get_model
+from fastvideotagging_tpu.parallel import batch_sharding, make_mesh, replicated
+from fastvideotagging_tpu.train import lr as lr_lib
+from fastvideotagging_tpu.train.checkpoint import CheckpointManager
+from fastvideotagging_tpu.train.loop import make_sample_batch, make_train_step
+from fastvideotagging_tpu.train.metrics import RunningMean
+from fastvideotagging_tpu.train.state import TrainState, create_train_state
+from fastvideotagging_tpu.utils.logging import MetricsLogger, get_logger
+
+log = get_logger("fvt.train")
+
+
+def fit(
+    cfg: ExperimentConfig,
+    train_records,
+    val_records=None,
+    mesh=None,
+    num_tags: int | None = None,
+    metrics_path: str | None = None,
+    eval_fn=None,
+) -> TrainState:
+    """Train per config; returns the final TrainState.
+
+    eval_fn: optional callable (state, epoch) -> dict of eval scalars, run
+    after each epoch (evaluation/evaluate.py provides one).
+    """
+    t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
+    mesh = mesh or make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
+    num_tags = num_tags or (m_cfg.num_classes if m_cfg.multilabel else None)
+
+    dataset = ClipDataset(train_records, d_cfg, mode="train", num_tags=num_tags,
+                          seed=t_cfg.seed)
+    steps_per_epoch = max(1, len(dataset) // t_cfg.batch_size)
+
+    model = get_model(m_cfg.name, num_classes=m_cfg.num_classes,
+                      backend=m_cfg.kernels, dropout=m_cfg.dropout)
+    tx = lr_lib.make_optimizer(t_cfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(t_cfg.seed)
+    sample_batch = make_sample_batch(cfg, t_cfg.batch_size)
+    # Initialize on a preprocessed-shape clip tensor.
+    ch, cw = d_cfg.crop_hw
+    sample_clips = np.zeros(
+        (1, d_cfg.sampler.clip_len, ch, cw, 3), np.float32
+    )
+    state = create_train_state(model, tx, rng, sample_clips)
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(t_cfg.checkpoint_dir)
+    start_epoch = 0
+    if t_cfg.resume:
+        restored, extra = ckpt.restore(state)
+        if restored is not None:
+            state = jax.device_put(restored, replicated(mesh))
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            log.info("resumed from step %d (epoch %d)", int(state.step), start_epoch)
+
+    step_fn = make_train_step(model, cfg)
+    data_sh = batch_sharding(mesh)
+    mlog = MetricsLogger(metrics_path)
+    global_step = int(state.step)
+
+    for epoch in range(start_epoch, t_cfg.num_epochs):
+        loss_avg, top1_avg = RunningMean(), RunningMean()
+        epoch_start = time.time()
+        tic = time.time()
+        batches = device_prefetch(
+            train_batches(dataset, t_cfg.batch_size, epoch,
+                          num_workers=d_cfg.num_workers),
+            sharding=data_sh, depth=d_cfg.prefetch_depth,
+        )
+        for batch in batches:
+            dropout_rng = jax.random.fold_in(rng, global_step)
+            state, metrics = step_fn(state, batch, dropout_rng)
+            global_step += 1
+            if global_step % t_cfg.log_every == 0:
+                metrics = jax.device_get(metrics)  # sync point, every K steps
+                loss_avg.update(metrics["loss"], t_cfg.batch_size)
+                if "top1" in metrics:
+                    top1_avg.update(metrics["top1"], t_cfg.batch_size)
+                speed = t_cfg.log_every * t_cfg.batch_size / (time.time() - tic)
+                tic = time.time()
+                mlog.log(global_step, epoch=epoch, loss=float(metrics["loss"]),
+                         top1=float(metrics.get("top1", float("nan"))),
+                         samples_per_sec=speed)
+            if (t_cfg.checkpoint_every_steps
+                    and global_step % t_cfg.checkpoint_every_steps == 0):
+                ckpt.save(global_step, jax.device_get(state), {"epoch": epoch})
+
+        log.info("epoch %d done in %.1fs loss=%.4f top1=%.4f", epoch,
+                 time.time() - epoch_start, loss_avg.value, top1_avg.value)
+        ckpt.save(global_step, jax.device_get(state), {"epoch": epoch})
+        if eval_fn is not None:
+            scalars = eval_fn(state, epoch)
+            mlog.log(global_step, **{f"eval_{k}": v for k, v in scalars.items()})
+
+    ckpt.wait()
+    mlog.close()
+    return state

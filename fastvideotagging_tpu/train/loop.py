@@ -1,0 +1,118 @@
+"""The jitted train step and fit loop (SURVEY.md C12, C14, §4.1).
+
+TPU-first structure, one compiled program per step containing:
+
+  uint8 frames (sharded over `data`) -> fused device preprocess ->
+  model fwd (bf16, MXU) -> loss (f32) -> bwd -> grad allreduce over ICI ->
+  SGD update -> new state
+
+Parallelism is declarative (pjit/GSPMD): the batch carries a NamedSharding
+over the mesh's `data` axis, params are replicated; XLA inserts the psum for
+gradients and for BatchNorm batch statistics (i.e. BN is cross-replica
+"SyncBN" — the global-batch semantics of the reference's single-GPU math,
+unlike its per-GPU BN). The same compiled step runs on 1 chip or N chips.
+
+The reference's equivalents — split_and_load, autograd.record()/backward(),
+Trainer.step with NCCL kvstore — have no direct counterparts here; they are
+all subsumed by this one jitted function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from fastvideotagging_tpu.config import ExperimentConfig
+from fastvideotagging_tpu.models import heads
+from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
+from fastvideotagging_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    cfg: ExperimentConfig,
+    donate: bool = True,
+) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
+    """Build the jitted train step: (state, batch, dropout_rng) -> (state, metrics).
+
+    batch: frames uint8 (B,T,H,W,3), labels int32 (B,) or multihot f32 (B,K),
+    crop_tops/crop_lefts int32 (B,), flips bool (B,), weights f32 (B,).
+    """
+    d = cfg.data
+    multilabel = cfg.model.multilabel
+    mean = jnp.asarray(d.mean, jnp.float32)
+    std = jnp.asarray(d.std, jnp.float32)
+    compute_dtype = cfg.model.compute_dtype
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        clips = preprocess_batch(
+            batch["frames"], batch["crop_tops"], batch["crop_lefts"],
+            batch["flips"], mean, std,
+            resize_hw=d.resize_hw, crop_hw=d.crop_hw,
+            out_dtype_name=compute_dtype,
+        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables, clips, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        if multilabel:
+            loss = heads.sigmoid_bce(logits, batch["multihot"], batch["weights"])
+        else:
+            loss = heads.softmax_cross_entropy(
+                logits, batch["labels"], batch["weights"]
+            )
+        return loss, (logits, mutated["batch_stats"])
+
+    def step(state: TrainState, batch: dict, dropout_rng: jax.Array):
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, dropout_rng)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {"loss": loss}
+        if not multilabel:
+            top1 = jnp.argmax(logits, axis=-1) == batch["labels"]
+            w = batch["weights"]
+            metrics["top1"] = (top1 * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
+    """Jitted eval forward on preprocessed clips: (variables, clips) -> scores.
+
+    clips: (N, T, ch, cw, 3) float — N is a flat batch of clips (possibly
+    from multiple videos); aggregation happens outside (evaluation/).
+    """
+    multilabel = cfg.model.multilabel
+
+    @jax.jit
+    def eval_step(variables, clips):
+        logits = model.apply(variables, clips, train=False)
+        return heads.predict_scores(logits, multilabel)
+
+    return eval_step
+
+
+def make_sample_batch(cfg: ExperimentConfig, batch_size: int | None = None) -> dict:
+    """A zeros batch with the config's exact shapes (for init / compile / dryrun)."""
+    d = cfg.data
+    b = batch_size or cfg.train.batch_size
+    t = d.sampler.clip_len
+    h, w = d.source_hw or d.resize_hw
+    batch = {
+        "frames": jnp.zeros((b, t, h, w, 3), jnp.uint8),
+        "labels": jnp.zeros((b,), jnp.int32),
+        "crop_tops": jnp.zeros((b,), jnp.int32),
+        "crop_lefts": jnp.zeros((b,), jnp.int32),
+        "flips": jnp.zeros((b,), bool),
+        "weights": jnp.ones((b,), jnp.float32),
+    }
+    if cfg.model.multilabel:
+        batch["multihot"] = jnp.zeros((b, cfg.model.num_classes), jnp.float32)
+    return batch

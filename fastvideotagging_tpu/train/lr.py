@@ -1,0 +1,40 @@
+"""LR schedules (SURVEY.md C13): SGD-momentum with multi-factor decay.
+
+The reference used MXNet's MultiFactorScheduler (drop LR by a factor at given
+epochs) with optional warmup; this builds the optax equivalent from
+TrainConfig.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from fastvideotagging_tpu.config import TrainConfig
+
+
+def multifactor_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    """base_lr, x lr_decay at each epoch in lr_steps, with linear warmup."""
+    boundaries = {
+        int(e * steps_per_epoch): cfg.lr_decay for e in cfg.lr_steps
+    }
+    sched = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
+    if cfg.warmup_epochs > 0:
+        warmup_steps = max(1, int(cfg.warmup_epochs * steps_per_epoch))
+        warmup = optax.linear_schedule(0.0, cfg.base_lr, warmup_steps)
+        return optax.join_schedules([warmup, sched], [warmup_steps])
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """SGD + momentum + decoupled weight decay, with optional grad accumulation."""
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.sgd(
+            learning_rate=multifactor_schedule(cfg, steps_per_epoch),
+            momentum=cfg.momentum,
+            nesterov=False,
+        ),
+    )
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx

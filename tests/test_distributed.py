@@ -1,0 +1,93 @@
+"""Distributed tier on the 8-device CPU mesh (SURVEY.md §5.5).
+
+The data-parallel contract: the SAME jitted step, fed a batch sharded over
+the mesh's `data` axis, produces the same math as the single-device run —
+XLA inserts the gradient psum and the global BatchNorm reductions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvideotagging_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from tests.test_train import make_state, synth_batch, tiny_cfg
+from fastvideotagging_tpu.train.loop import make_train_step
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+    assert mesh.devices.size == len(jax.devices()) == 8
+
+    mesh2 = make_mesh(4, 2)
+    assert mesh2.devices.shape == (4, 2)
+
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)  # 6 != 8
+    with pytest.raises(ValueError):
+        make_mesh(-1, 3)  # 3 does not divide 8
+
+
+def test_dp_step_matches_single_device():
+    cfg = tiny_cfg()
+    model, state0 = make_state(cfg)
+    batch = synth_batch(cfg)
+    step = make_train_step(model, cfg, donate=False)
+
+    # Single device (first CPU device).
+    dev = jax.devices()[0]
+    state_1 = jax.device_put(state0, dev)
+    batch_1 = jax.tree.map(lambda x: jax.device_put(x, dev), batch)
+    out_1, metrics_1 = step(state_1, batch_1, jax.random.PRNGKey(0))
+
+    # 8-way data parallel over the mesh.
+    mesh = make_mesh(8, 1)
+    state_8 = jax.device_put(state0, replicated(mesh))
+    batch_8 = shard_batch(mesh, batch)
+    out_8, metrics_8 = step(state_8, batch_8, jax.random.PRNGKey(0))
+
+    assert float(metrics_1["loss"]) == pytest.approx(
+        float(metrics_8["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(out_1.params), jax.tree.leaves(out_8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # BatchNorm stats must also be global-batch (SyncBN) in both cases.
+    for a, b in zip(jax.tree.leaves(out_1.batch_stats),
+                    jax.tree.leaves(out_8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dp_multi_step_training_progresses():
+    cfg = tiny_cfg()
+    model, state = make_state(cfg)
+    mesh = make_mesh(8, 1)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(model, cfg)
+    batch = shard_batch(mesh, synth_batch(cfg))
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_data_model_mesh_step_runs():
+    """Step executes on a (data=4, model=2) mesh (params replicated on model
+    axis for now; channel sharding arrives with the dual-pathway config)."""
+    cfg = tiny_cfg()
+    model, state = make_state(cfg)
+    mesh = make_mesh(4, 2)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(model, cfg, donate=False)
+    batch = shard_batch(mesh, synth_batch(cfg))
+    out, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,108 @@
+"""Eval aggregation and the tag() entrypoint (SURVEY.md C16/C17)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvideotagging_tpu.config import (
+    ClipSamplerConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+)
+from fastvideotagging_tpu.data.pipeline import ClipDataset
+from fastvideotagging_tpu.data.ucf101 import load_video_list
+from fastvideotagging_tpu.evaluation.evaluate import evaluate, evaluate_video_scores
+from fastvideotagging_tpu.evaluation.tagger import Tagger
+from fastvideotagging_tpu.models import get_model
+
+
+def eval_cfg(multilabel=False, eval_mode="center", num_classes=3):
+    return ExperimentConfig(
+        model=ModelConfig(name="tiny3d", num_classes=num_classes,
+                          multilabel=multilabel, compute_dtype="float32"),
+        data=DataConfig(source_hw=(48, 64), resize_hw=(40, 56), crop_hw=(32, 32),
+                        sampler=ClipSamplerConfig(clip_len=4, stride=2,
+                                                  eval_mode=eval_mode,
+                                                  num_eval_clips=3)),
+    )
+
+
+def init_variables(cfg, seed=0):
+    model = get_model(cfg.model.name, num_classes=cfg.model.num_classes,
+                      dtype=jnp.float32)
+    x = jnp.zeros((1, cfg.data.sampler.clip_len) + tuple(cfg.data.crop_hw) + (3,),
+                  jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(seed), x, train=False)
+    return model, variables
+
+
+class TestEvaluate:
+    def test_single_label_metrics(self, synthetic_dataset):
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cfg = eval_cfg()
+        model, variables = init_variables(cfg)
+        ds = ClipDataset(records, cfg.data, mode="eval")
+        out = evaluate(model, variables, ds, cfg, clip_batch=4)
+        assert out["num_videos"] == 6
+        assert 0.0 <= out["top1"] <= 1.0
+        assert out["top5"] >= out["top1"]
+
+    def test_scores_deterministic_bitwise(self, synthetic_dataset):
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)[:2]
+        cfg = eval_cfg(eval_mode="uniform")
+        model, variables = init_variables(cfg)
+        ds = ClipDataset(records, cfg.data, mode="eval")
+        a, _ = evaluate_video_scores(model, variables, ds, cfg, clip_batch=2)
+        b, _ = evaluate_video_scores(model, variables, ds, cfg, clip_batch=2)
+        np.testing.assert_array_equal(a, b)
+
+    def test_multilabel_metrics(self, synthetic_dataset):
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)[:3]
+        cfg = eval_cfg(multilabel=True)
+        model, variables = init_variables(cfg)
+        ds = ClipDataset(records, cfg.data, mode="eval", num_tags=3)
+        out = evaluate(model, variables, ds, cfg, clip_batch=2)
+        assert "mAP" in out and "macro_f1" in out
+
+
+class TestTagger:
+    def test_tag_returns_sorted_results(self, synthetic_dataset):
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cfg = eval_cfg(multilabel=True, eval_mode="dense")
+        _, variables = init_variables(cfg)
+        tagger = Tagger(cfg, variables, tag_names=["cat", "dog", "bird"],
+                        clip_batch=2)
+        results = tagger.tag(records[0].path, threshold=0.0)
+        assert len(results) == 3
+        scores = [r.score for r in results]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 <= s <= 1.0 for s in scores)
+        assert {r.tag for r in results} == {"cat", "dog", "bird"}
+
+    def test_threshold_and_topk(self, synthetic_dataset):
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cfg = eval_cfg(multilabel=True, eval_mode="dense")
+        _, variables = init_variables(cfg)
+        tagger = Tagger(cfg, variables, clip_batch=2)
+        full = tagger.tag(records[0].path, threshold=0.0)
+        top1 = tagger.tag(records[0].path, threshold=0.0, top_k=1)
+        assert len(top1) == 1 and top1[0].tag == full[0].tag
+        high = tagger.tag(records[0].path, threshold=1.1)
+        assert high == []
+
+    def test_deterministic(self, synthetic_dataset):
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cfg = eval_cfg(multilabel=True, eval_mode="dense")
+        _, variables = init_variables(cfg)
+        tagger = Tagger(cfg, variables, clip_batch=2)
+        a = tagger.video_scores(records[1].path)
+        b = tagger.video_scores(records[1].path)
+        np.testing.assert_array_equal(a, b)
