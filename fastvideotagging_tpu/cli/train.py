@@ -1,0 +1,60 @@
+"""Train CLI (reference: train.py; SURVEY.md §4.1).
+
+    python -m fastvideotagging_tpu.cli.train --preset r2plus1d18_ucf101 \
+        --data-root /data/ucf101 --train-list trainlist01.txt \
+        --val-list testlist01.txt --class-index classInd.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from fastvideotagging_tpu.cli.common import add_common_flags, add_train_flags, build_config
+from fastvideotagging_tpu.data import ucf101
+from fastvideotagging_tpu.train.fit import fit
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_flags(p)
+    add_train_flags(p)
+    p.add_argument("--class-index", default=None,
+                   help="UCF101 classInd.txt (enables 1-based label parsing)")
+    p.add_argument("--tag-lists", action="store_true",
+                   help="parse lists as multi-label tag lists")
+    return p.parse_args(argv)
+
+
+def load_records(cfg, args):
+    cidx = (ucf101.load_class_index(args.class_index)
+            if args.class_index else None)
+    num_tags = None
+    if args.tag_lists:
+        train, tag_index = ucf101.load_tag_list(cfg.data.train_list, cfg.data.root)
+        val = (ucf101.load_tag_list(cfg.data.val_list, cfg.data.root,
+                                    tag_index)[0]
+               if cfg.data.val_list else None)
+        num_tags = len(tag_index)
+    else:
+        train = ucf101.load_video_list(cfg.data.train_list, cfg.data.root, cidx)
+        val = (ucf101.load_video_list(cfg.data.val_list, cfg.data.root, cidx)
+               if cfg.data.val_list else None)
+    return train, val, num_tags
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    train_records, val_records, num_tags = load_records(cfg, args)
+
+    eval_fn = None
+    if val_records:
+        from fastvideotagging_tpu.evaluation.evaluate import make_eval_fn
+
+        eval_fn = make_eval_fn(cfg, val_records, num_tags=num_tags)
+    fit(cfg, train_records, num_tags=num_tags, eval_fn=eval_fn,
+        metrics_path=args.metrics_jsonl)
+
+
+if __name__ == "__main__":
+    main()

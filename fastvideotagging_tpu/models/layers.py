@@ -8,8 +8,9 @@ temporal convs additionally support a first-party Pallas backend
 always-correct fallback and the parity oracle (SURVEY.md N1, §8.3).
 
 Compute dtype policy: params live in float32; activations/compute run in the
-module's ``dtype`` (bfloat16 by default) with f32 accumulation inside convs
-via ``preferred_element_type``.
+module's ``dtype`` (bfloat16 by default). The MXU accumulates bf16 products
+in f32 internally; conv in/out dtypes stay uniform so autodiff transposes
+type-check (mixing preferred_element_type with a post-cast breaks the vjp).
 """
 
 from __future__ import annotations
@@ -67,7 +68,6 @@ class Conv3D(nn.Module):
             window_strides=_triple(self.strides),
             padding=self.padding,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -116,7 +116,6 @@ class SpatialConv(nn.Module):
                 window_strides=(1, self.stride, self.stride),
                 padding="SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             )
         if self.use_bias:
             bias = self.param(
@@ -161,7 +160,6 @@ class TemporalConv(nn.Module):
                 window_strides=(self.stride, 1, 1),
                 padding="SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             )
         if self.use_bias:
             bias = self.param(

@@ -1,0 +1,277 @@
+"""First-party Pallas TPU kernels for the factorized (2+1)D convolutions
+(SURVEY.md N1; BASELINE [B:5] "factorized 2+1D spatial/temporal kernels
+written in Pallas").
+
+Why not just lax.conv? Measured on the v5e, XLA's conv runs the stage-1
+R(2+1)D layers at 25-48 TF/s (13-24% MFU): with C=64..144 channels the
+contraction dim wastes most of the 128-wide MXU lanes. These kernels use a
+**tap-packing** formulation: the k taps along one kernel axis are packed into
+the matmul contraction dim,
+
+    spatial 1xkxk :  k matmuls of (TILE_H * W, k*C) @ (k*C, Co)
+    temporal kx1x1:  1 matmul  of (T * TILE_S,  k*C) @ (k*C, Co)
+
+growing the contraction dim by k (e.g. 64 -> 192, 144 -> 432) for much higher
+MXU lane utilization, with the patch matrices living only in VMEM — no HBM
+im2col blowup.
+
+Mechanics: inputs are consumed through pipelined BlockSpecs (Pallas
+double-buffers the HBM->VMEM block DMAs automatically). The spatial kernel
+needs a (k-1)-row halo along H: it reads the SAME input array through two
+BlockSpecs, the current row-block and the next one, and concatenates —
+overlapping blocks are not expressible in a single BlockSpec, but adjacent
+ones are. Tap shifts along W/T are static slices; the dh-taps are
+concatenated along the lane (channel) dim — Mosaic allows lane-concat only
+for operands with identical sublane offsets, so the dw (sublane) shift is
+normalized by one column-slice per dw before the dh-concat.
+
+Status (v5e, 2026-08-16): standalone these kernels match or beat XLA's conv
+(spatial 51 vs 46 TF/s; temporal mixed), but inside the full jitted train
+step the custom-call boundary costs more than the kernels win: the
+(B,T,S,C) reshape materializes, operand layout constraints pad C=64 -> 128
+(2x HBM), and custom_vjp blocks XLA's fusion/remat (measured 4x slower
+end-to-end, and OOM at batch 32). Until the fused-block kernel lands
+(spatial+BN+ReLU+temporal in one pallas_call, NTHWC-native), the production
+default stays kernels='xla'; this path is opt-in via kernels='pallas'.
+
+Scope: stride-1 SAME convs with channels >= MIN_C take the Pallas path;
+strided stage-entry convs and the tiny-channel stem fall back to
+lax.conv_general_dilated (always-correct fallback + parity oracle,
+SURVEY.md §8.3). Backward is a custom_vjp: dx reuses the same kernels with
+flipped/transposed weights (a stride-1 SAME conv is its own transpose up to
+weight flips); dw is a plain tap-sliced matmul contraction left to XLA (it is
+already MXU-shaped).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Pallas path eligibility: below this channel count the packed contraction is
+# still too narrow to beat XLA, and lane relayouts dominate.
+MIN_C = 32
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_tile(total: int, max_tile: int) -> int:
+    """Largest divisor of `total` that is <= max_tile."""
+    for cand in range(min(max_tile, total), 0, -1):
+        if total % cand == 0:
+            return cand
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# Spatial 1 x k x k conv
+# ---------------------------------------------------------------------------
+
+
+def _spatial_kernel(x_cur, x_nxt, w_ref, out_ref, *, k: int, tile_h: int,
+                    w_out: int, c: int):
+    # Assemble the (tile_h + k - 1)-row halo'd slab from the current block
+    # and the head of the next block (same array, shifted index map).
+    slab = jnp.concatenate([x_cur[0], x_nxt[0, : k - 1]], axis=0)
+    acc = jnp.zeros((tile_h * w_out, out_ref.shape[-1]), jnp.float32)
+    for dw in range(k):
+        cols = slab[:, dw : dw + w_out, :]  # normalize sublane offset
+        taps = [cols[dh : dh + tile_h] for dh in range(k)]  # major-axis slices
+        patches = jnp.concatenate(taps, axis=-1).reshape(tile_h * w_out, k * c)
+        acc = acc + jnp.dot(patches, w_ref[dw],
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(tile_h, w_out, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _spatial_pallas(x: jax.Array, w2d: jax.Array, k: int) -> jax.Array:
+    """x: (N, H, W, C) unpadded; w2d: (k_w, k_h*C, Co). Stride-1 SAME conv."""
+    n, h, w, c = x.shape
+    co = w2d.shape[-1]
+    p = k // 2
+    tile_h = _pick_tile(h, 16)
+    n_tiles = h // tile_h
+    # Pad H so that row-blocks [0..n_tiles] all exist fully: top halo p rows,
+    # bottom (tile_h) rows cover the bottom halo plus block n_tiles.
+    xp = jnp.pad(x, ((0, 0), (p, tile_h), (p, p), (0, 0)))
+    grid = (n, n_tiles)
+    block = (1, tile_h, w + 2 * p, c)
+    return pl.pallas_call(
+        functools.partial(_spatial_kernel, k=k, tile_h=tile_h, w_out=w, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(block, lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j: (i, j + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k * c, co), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w, co), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
+        interpret=_interpret(),
+    )(xp, xp, w2d)
+
+
+def _spatial_w2d(w: jax.Array) -> jax.Array:
+    """(k_h, k_w, C, Co) -> (k_w, k_h*C, Co): dw-major to match the kernel's
+    per-dw matmuls, with (dh, C) packed into the contraction dim."""
+    k, _, c, co = w.shape
+    return w.transpose(1, 0, 2, 3).reshape(k, k * c, co)
+
+
+def _spatial_dw(x: jax.Array, g: jax.Array, k: int) -> jax.Array:
+    """dw[dh,dw,c,co] = sum_{n,h,w} x_pad[n,h+dh,w+dw,c] g[n,h,w,co]."""
+    n, h, w, c = x.shape
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    gf = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    rows = []
+    for dh in range(k):
+        for dw in range(k):
+            patch = lax.slice(
+                xp, (0, dh, dw, 0), (n, dh + h, dw + w, c)
+            ).reshape(-1, c).astype(jnp.float32)
+            rows.append(jnp.dot(patch.T, gf,
+                                preferred_element_type=jnp.float32))
+    return jnp.stack(rows).reshape(k, k, c, -1)
+
+
+@jax.custom_vjp
+def _spatial_op(x: jax.Array, w: jax.Array) -> jax.Array:
+    return _spatial_pallas(x, _spatial_w2d(w), w.shape[0])
+
+
+def _spatial_fwd(x, w):
+    return _spatial_op(x, w), (x, w)
+
+
+def _spatial_bwd(res, g):
+    x, w = res
+    k = w.shape[0]
+    # dx: correlate g with spatially flipped, channel-transposed weights.
+    w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = _spatial_pallas(g.astype(x.dtype), _spatial_w2d(w_t.astype(x.dtype)), k)
+    dw = _spatial_dw(x, g, k).astype(w.dtype)
+    return dx, dw
+
+
+_spatial_op.defvjp(_spatial_fwd, _spatial_bwd)
+
+
+def spatial_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+    """1xkxk conv on NTHWC input. x: (B, T, H, W, C); w: (k, k, C, Co).
+
+    Pallas tap-packing kernel for stride-1 with C >= MIN_C; lax fallback
+    otherwise (strided stage entries, tiny-channel stem).
+    """
+    b, t, h, w_dim, c = x.shape
+    k = w.shape[0]
+    if stride == 1 and c >= MIN_C and h >= k and w_dim >= k:
+        y = _spatial_op(x.reshape(b * t, h, w_dim, c), w)
+        return y.reshape(b, t, h, w_dim, -1)
+    return lax.conv_general_dilated(
+        x, w[None], window_strides=(1, stride, stride), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal k x 1 x 1 conv
+# ---------------------------------------------------------------------------
+
+
+def _temporal_kernel(x_ref, w_ref, out_ref, *, k: int, t: int, tile_s: int,
+                     c: int):
+    slab = x_ref[0]  # (t + k - 1, tile_s, C), T-halo pre-padded
+    taps = [slab[dt : dt + t] for dt in range(k)]  # major-axis slices
+    patches = jnp.concatenate(taps, axis=-1).reshape(t * tile_s, k * c)
+    acc = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(t, tile_s, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _temporal_pallas(x: jax.Array, w2d: jax.Array, k: int) -> jax.Array:
+    """x: (B, T, S, C); w2d: (k*C, Co). Stride-1 SAME conv over T."""
+    b, t, s, c = x.shape
+    co = w2d.shape[-1]
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))  # full T fits in VMEM
+    tile_s = _pick_tile(s, 512)
+    grid = (b, s // tile_s)
+    return pl.pallas_call(
+        functools.partial(_temporal_kernel, k=k, t=t, tile_s=tile_s, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t + 2 * p, tile_s, c),
+                         lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * c, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, tile_s, co), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, s, co), x.dtype),
+        interpret=_interpret(),
+    )(xp, w2d)
+
+
+def _temporal_w2d(w: jax.Array) -> jax.Array:
+    """(k, C, Co) -> (k*C, Co), tap-major."""
+    k, c, co = w.shape
+    return w.reshape(k * c, co)
+
+
+def _temporal_dw(x: jax.Array, g: jax.Array, k: int) -> jax.Array:
+    b, t, s, c = x.shape
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
+    gf = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    rows = []
+    for dt in range(k):
+        patch = lax.slice(xp, (0, dt, 0, 0), (b, dt + t, s, c))
+        rows.append(jnp.dot(patch.reshape(-1, c).astype(jnp.float32).T, gf,
+                            preferred_element_type=jnp.float32))
+    return jnp.stack(rows)
+
+
+@jax.custom_vjp
+def _temporal_op(x: jax.Array, w: jax.Array) -> jax.Array:
+    return _temporal_pallas(x, _temporal_w2d(w), w.shape[0])
+
+
+def _temporal_fwd(x, w):
+    return _temporal_op(x, w), (x, w)
+
+
+def _temporal_bwd(res, g):
+    x, w = res
+    k = w.shape[0]
+    w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
+    dx = _temporal_pallas(g.astype(x.dtype), _temporal_w2d(w_t.astype(x.dtype)), k)
+    dw = _temporal_dw(x, g, k).astype(w.dtype)
+    return dx, dw
+
+
+_temporal_op.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def temporal_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+    """kx1x1 conv on NTHWC input. x: (B, T, H, W, C); w: (k, C, Co)."""
+    b, t, h, w_dim, c = x.shape
+    k = w.shape[0]
+    if stride == 1 and c >= MIN_C and t >= 2:
+        y = _temporal_op(x.reshape(b, t, h * w_dim, c), w)
+        return y.reshape(b, t, h, w_dim, -1)
+    return lax.conv_general_dilated(
+        x, w[:, None, None], window_strides=(stride, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )

@@ -35,12 +35,14 @@ def make_mesh(
         raise ValueError(f"model_parallel={model_parallel} must divide {n} devices")
     if data_parallel == -1:
         data_parallel = n // model_parallel
-    if data_parallel * model_parallel != n:
+    need = data_parallel * model_parallel
+    if need > n:
         raise ValueError(
             f"data_parallel*model_parallel = {data_parallel}*{model_parallel} "
-            f"!= {n} devices"
+            f"> {n} available devices"
         )
-    grid = np.asarray(devices).reshape(data_parallel, model_parallel)
+    # An explicit smaller request uses the first `need` devices.
+    grid = np.asarray(devices[:need]).reshape(data_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -43,6 +43,13 @@ def fit(
     """
     t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
     mesh = mesh or make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
+    data_shards = mesh.shape[cfg.parallel.data_axis]
+    if t_cfg.batch_size % data_shards != 0:
+        raise ValueError(
+            f"batch_size={t_cfg.batch_size} must be divisible by the data-"
+            f"parallel degree {data_shards}; set train.batch_size or "
+            f"parallel.data_parallel accordingly"
+        )
     num_tags = num_tags or (m_cfg.num_classes if m_cfg.multilabel else None)
 
     dataset = ClipDataset(train_records, d_cfg, mode="train", num_tags=num_tags,

@@ -30,8 +30,11 @@ def test_mesh_construction():
     mesh2 = make_mesh(4, 2)
     assert mesh2.devices.shape == (4, 2)
 
+    mesh3 = make_mesh(3, 2)  # explicit subset: 6 of 8 devices
+    assert mesh3.devices.shape == (3, 2)
+
     with pytest.raises(ValueError):
-        make_mesh(3, 2)  # 6 != 8
+        make_mesh(16, 1)  # more than available
     with pytest.raises(ValueError):
         make_mesh(-1, 3)  # 3 does not divide 8
 
