@@ -43,7 +43,13 @@ def _triple(v) -> tuple[int, int, int]:
 
 
 class Conv3D(nn.Module):
-    """3D convolution on NTHWC input, kernel layout (kt, kh, kw, cin, cout)."""
+    """3D convolution on NTHWC input, kernel layout (kt, kh, kw, cin, cout).
+
+    shard_axis: mesh axis name to shard the OUTPUT channel dim over
+    (channel/tensor parallelism for the dual-pathway config [B:11]); the
+    kernel param carries flax partitioning metadata which
+    parallel.mesh.variables_shardings turns into NamedShardings.
+    """
 
     features: int
     kernel_size: Sequence[int]
@@ -53,15 +59,22 @@ class Conv3D(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.he_normal()
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kt, kh, kw = _triple(self.kernel_size)
         cin = x.shape[-1]
+        init = self.kernel_init
+        if self.shard_axis is not None:
+            init = nn.with_partitioning(
+                init, (None, None, None, None, self.shard_axis)
+            )
         kernel = self.param(
-            "kernel", self.kernel_init, (kt, kh, kw, cin, self.features),
+            "kernel", init, (kt, kh, kw, cin, self.features),
             self.param_dtype,
         )
+        kernel = nn.meta.unbox(kernel)
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

@@ -78,3 +78,12 @@ def _p3d_131(num_classes: int, **kw) -> nn.Module:
 @register("p3d_199")
 def _p3d_199(num_classes: int, **kw) -> nn.Module:
     return P3D(stage_blocks=(3, 8, 36, 3), num_classes=num_classes, **kw)
+
+
+@register("slowfast_r2plus1d")
+def _slowfast(num_classes: int, **kw) -> nn.Module:
+    """Dual-pathway stretch config [B:11]; kwargs: alpha, beta, shard_axis."""
+    from fastvideotagging_tpu.models.slowfast import SlowFastR2Plus1D
+
+    kw.pop("backend", None)  # uses full-3D convs for the sharded GEMMs
+    return SlowFastR2Plus1D(num_classes=num_classes, **kw)

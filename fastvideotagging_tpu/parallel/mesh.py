@@ -59,3 +59,26 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays) sharded over the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def param_partition_specs(variables):
+    """PartitionSpec tree from flax ``with_partitioning`` metadata (boxed
+    variables as returned by model.init when modules set ``shard_axis``)."""
+    import flax.linen as nn
+
+    return nn.get_partition_spec(variables)
+
+
+def shard_train_state(state, mesh: Mesh, param_specs=None):
+    """Place a TrainState on the mesh: everything replicated except params
+    (and via GSPMD propagation, the optimizer moments after step 1) following
+    ``param_specs`` — the channel/tensor-parallel placement for [B:11]."""
+    state = jax.device_put(state, replicated(mesh))
+    if param_specs is not None:
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), param_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        params = jax.tree.map(jax.device_put, state.params, shardings)
+        state = state.replace(params=params)
+    return state

@@ -22,6 +22,10 @@ def create_train_state(model, tx, rng: jax.Array, sample_input) -> TrainState:
     variables = jax.jit(model.init, static_argnames="train")(
         rng, sample_input, train=False
     )
+    # Unbox flax partitioning metadata (channel-sharded models); the
+    # PartitionSpecs are recovered via parallel.mesh.param_partition_specs
+    # from a separate (shape-only) init when placing the state on a mesh.
+    variables = flax.linen.meta.unbox(variables)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
