@@ -50,16 +50,18 @@ class ClipSample:
 
 
 def _ensure_size(frames: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
-    """Host-resize (cv2) only if the decoded size differs from the ship size."""
+    """Host-resize only if the decoded size differs from the ship size.
+
+    Uses the first-party native resize (spec-exact half-pixel bilinear,
+    native/framepack.c) so host-resized and device-resized pipelines share
+    one geometry spec; numpy fallback inside if no compiler.
+    """
     h, w = hw
     if frames.shape[1] == h and frames.shape[2] == w:
         return frames
-    import cv2
+    from fastvideotagging_tpu import native
 
-    out = np.empty((frames.shape[0], h, w, 3), dtype=np.uint8)
-    for i in range(frames.shape[0]):
-        out[i] = cv2.resize(frames[i], (w, h), interpolation=cv2.INTER_LINEAR)
-    return out
+    return native.resize_batch_u8(frames, h, w)
 
 
 class ClipDataset:
