@@ -66,7 +66,8 @@ def _timeit_chain(step_once, warmup=2, n_short=4, n_long=16):
     return (t_long - t_short) / (n_long - n_short)
 
 
-def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171)):
+def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),
+                     model_name="r2plus1d_18"):
     from fastvideotagging_tpu.config import (
         ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
     )
@@ -76,7 +77,7 @@ def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171))
     from fastvideotagging_tpu.train.state import create_train_state
 
     cfg = ExperimentConfig(
-        model=ModelConfig(name="r2plus1d_18", num_classes=101),
+        model=ModelConfig(name=model_name, num_classes=101),
         data=DataConfig(source_hw=source_hw, crop_hw=(crop, crop),
                         sampler=ClipSamplerConfig(clip_len=clip_len)),
         train=TrainConfig(batch_size=batch_size),
@@ -138,6 +139,9 @@ def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
 def main():
     batch_size = 32
     clips_per_sec, achieved_tflops, flops, sec = bench_train_step(batch_size)
+    # MXU-aligned variant (same macro-architecture, 128-multiple channels).
+    tpu_clips, tpu_tflops, _, _ = bench_train_step(
+        batch_size, model_name="r2plus1d_18_tpu")
     frames_per_sec = bench_preprocess(batch_size)
 
     peak = _detect_peak_tflops()
@@ -157,6 +161,8 @@ def main():
             "roofline_fraction": round(roofline_frac, 4),
             "xla_flops_per_step": flops,
             "preprocess_frames_per_sec": round(frames_per_sec, 1),
+            "r2plus1d18_tpu_variant_clips_per_sec": round(tpu_clips, 2),
+            "r2plus1d18_tpu_variant_tflops": round(tpu_tflops, 2),
             "batch_size": batch_size,
             "device": jax.devices()[0].device_kind,
         },

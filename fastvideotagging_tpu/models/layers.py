@@ -34,6 +34,17 @@ def r2plus1d_mid_channels(cin: int, cout: int, kt: int = 3, kd: int = 3) -> int:
     return (kt * kd * kd * cin * cout) // (kd * kd * cin + kt * cout)
 
 
+def mxu_aligned_mid_channels(cin: int, cout: int, kt: int = 3, kd: int = 3) -> int:
+    """TPU variant of the mid-channel rule: nearest multiple of 128 (>=128).
+
+    The paper's M values (144, 230, 288, 460, ...) waste up to half of the
+    128-wide MXU lane dimension; rounding M to the lane width recovers it at
+    roughly neutral parameter count. Used by the `*_tpu` zoo variants.
+    """
+    m = r2plus1d_mid_channels(cin, cout, kt, kd)
+    return max(128, int(round(m / 128)) * 128)
+
+
 def _triple(v) -> tuple[int, int, int]:
     if isinstance(v, int):
         return (v, v, v)

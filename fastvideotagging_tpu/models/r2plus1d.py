@@ -26,6 +26,7 @@ from fastvideotagging_tpu.models.layers import (
     SpatialConv,
     TemporalConv,
     global_avg_pool_3d,
+    mxu_aligned_mid_channels,
     r2plus1d_mid_channels,
 )
 
@@ -59,6 +60,9 @@ class BasicBlock(nn.Module):
     backend: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    # paper-exact per-conv M by default; mxu_aligned_mid_channels for the
+    # `*_tpu` variants (M rounded to the 128-wide MXU lane width)
+    mid_channels_fn: object = r2plus1d_mid_channels
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -69,13 +73,13 @@ class BasicBlock(nn.Module):
         )
         residual = x
         y = Conv2Plus1D(
-            self.features, r2plus1d_mid_channels(cin, self.features),
+            self.features, self.mid_channels_fn(cin, self.features),
             spatial_stride=self.stride, temporal_stride=self.stride,
             backend=self.backend, dtype=self.dtype, name="conv1",
         )(x, train)
         y = nn.relu(bn("bn1")(y))
         y = Conv2Plus1D(
-            self.features, r2plus1d_mid_channels(self.features, self.features),
+            self.features, self.mid_channels_fn(self.features, self.features),
             backend=self.backend, dtype=self.dtype, name="conv2",
         )(y, train)
         y = bn("bn2")(y)
@@ -94,6 +98,8 @@ class R2Plus1D(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    mid_channels_fn: object = r2plus1d_mid_channels
+    stem_mid: int = 45  # paper stem width; 128 in the `*_tpu` variants
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -103,8 +109,8 @@ class R2Plus1D(nn.Module):
         )
         x = x.astype(self.dtype)
         # Stem: fixed 45 mid-channels (paper), spatial stride 2.
-        x = SpatialConv(45, 7, stride=2, backend=self.backend, dtype=self.dtype,
-                        name="stem_spatial")(x)
+        x = SpatialConv(self.stem_mid, 7, stride=2, backend=self.backend,
+                        dtype=self.dtype, name="stem_spatial")(x)
         x = nn.relu(bn("stem_bn1")(x))
         x = TemporalConv(64, 3, backend=self.backend, dtype=self.dtype,
                          name="stem_temporal")(x)
@@ -116,6 +122,7 @@ class R2Plus1D(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = BasicBlock(features, stride=stride, backend=self.backend,
                                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               mid_channels_fn=self.mid_channels_fn,
                                name=f"stage{stage + 1}_block{block}")(x, train)
 
         x = global_avg_pool_3d(x)

@@ -65,6 +65,31 @@ def _r2plus1d_34(num_classes: int, **kw) -> nn.Module:
     return R2Plus1D(stage_blocks=(3, 4, 6, 3), num_classes=num_classes, **kw)
 
 
+@register("r2plus1d_18_tpu")
+def _r2plus1d_18_tpu(num_classes: int, **kw) -> nn.Module:
+    """MXU-aligned variant: mid-channels rounded to the 128-lane width.
+
+    Same macro-architecture and ~param count as r2plus1d_18, but every
+    factorized conv's M (and the stem width) is a multiple of 128, removing
+    the MXU lane padding that caps the paper architecture at ~56% lane
+    utilization on TPU. Not weight-compatible with r2plus1d_18.
+    """
+    from fastvideotagging_tpu.models.layers import mxu_aligned_mid_channels
+
+    return R2Plus1D(stage_blocks=(2, 2, 2, 2), num_classes=num_classes,
+                    mid_channels_fn=mxu_aligned_mid_channels, stem_mid=128,
+                    **kw)
+
+
+@register("r2plus1d_34_tpu")
+def _r2plus1d_34_tpu(num_classes: int, **kw) -> nn.Module:
+    from fastvideotagging_tpu.models.layers import mxu_aligned_mid_channels
+
+    return R2Plus1D(stage_blocks=(3, 4, 6, 3), num_classes=num_classes,
+                    mid_channels_fn=mxu_aligned_mid_channels, stem_mid=128,
+                    **kw)
+
+
 @register("p3d_63")
 def _p3d_63(num_classes: int, **kw) -> nn.Module:
     return P3D(stage_blocks=(3, 4, 6, 3), num_classes=num_classes, **kw)

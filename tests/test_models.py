@@ -102,6 +102,24 @@ class TestR2Plus1D:
         logits = _apply_shape(model, variables, (1, 32, 224, 224, 3))
         assert logits.shape == (1, 400)
 
+    def test_tpu_variant_mxu_aligned_and_param_neutral(self):
+        from fastvideotagging_tpu.models.layers import mxu_aligned_mid_channels
+
+        for cin, cout in [(64, 64), (64, 128), (256, 512), (512, 512)]:
+            assert mxu_aligned_mid_channels(cin, cout) % 128 == 0
+        model = get_model("r2plus1d_18_tpu", num_classes=101)
+        variables = _init_shapes(model, (1, 4, 32, 32, 3))
+        logits = _apply_shape(model, variables, (1, 4, 32, 32, 3))
+        assert logits.shape == (1, 101)
+        n_tpu = _param_count(variables)
+        n_ref = _param_count(_init_shapes(
+            get_model("r2plus1d_18", num_classes=101), (1, 4, 32, 32, 3)))
+        # param-neutral within 5%
+        assert abs(n_tpu - n_ref) / n_ref < 0.05, (n_tpu, n_ref)
+        assert variables["params"]["stem_spatial"]["kernel"].shape[-1] == 128
+        mid = variables["params"]["stage1_block0"]["conv1"]["spatial"]["kernel"]
+        assert mid.shape[-1] % 128 == 0
+
     def test_forward_runs_and_train_updates_batch_stats(self):
         # Shallow (1,1,1,1) variant: same block code, fraction of the CPU
         # compile time; full-depth numerics run in the slow/TPU tiers.
