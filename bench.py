@@ -41,9 +41,10 @@ def _detect_peak_tflops() -> float:
 def _sync(x):
     """Force execution. jax.block_until_ready is a NO-OP through the axon
     tunnel (verified: 8k matmul 'finished' in 0.03 ms); only an actual
-    readback synchronizes."""
+    readback synchronizes. Read back a SINGLE element — device_get of a whole
+    array ships it over the tunnel."""
     leaf = jax.tree.leaves(x)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[0]
+    float(leaf[(0,) * leaf.ndim])
 
 
 def _timeit_chain(step_once, warmup=2, n_short=4, n_long=16):
@@ -125,14 +126,19 @@ def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
     mean = jnp.asarray((0.43216, 0.394666, 0.37645), jnp.float32)
     std = jnp.asarray((0.22803, 0.22145, 0.216989), jnp.float32)
 
-    def step_once(carry):
-        # chain via the frames buffer to serialize iterations
-        f = frames if carry is None else carry[1]
+    @jax.jit
+    def chained(f):
         out = preprocess_batch(f, tops, lefts, flips, mean, std,
                                resize_hw=source_hw, crop_hw=(112, 112))
-        return out, f
+        # feed a zero derived from the output back into the frames so the
+        # next iteration truly depends on this one
+        dep = (out[0, 0, 0, 0, 0] * 0).astype(jnp.uint8)
+        return f + dep
 
-    sec = _timeit_chain(step_once, n_short=8, n_long=32)
+    def step_once(carry):
+        return chained(frames if carry is None else carry)
+
+    sec = _timeit_chain(step_once, n_short=16, n_long=64)
     return batch_size * clip_len / sec
 
 

@@ -27,9 +27,10 @@ def trace(logdir: str = "/tmp/fvt_trace"):
 
 
 def sync(tree) -> None:
-    """Force execution of a pytree by reading back one element of one leaf."""
+    """Force execution of a pytree by reading back ONE element of one leaf
+    (device_get of a whole array would ship it over the tunnel)."""
     leaf = jax.tree.leaves(tree)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    float(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
 
 class StepTimer:
