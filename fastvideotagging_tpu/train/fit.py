@@ -11,6 +11,7 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fastvideotagging_tpu.config import ExperimentConfig
@@ -56,8 +57,11 @@ def fit(
                           seed=t_cfg.seed)
     steps_per_epoch = max(1, len(dataset) // t_cfg.batch_size)
 
-    model = get_model(m_cfg.name, num_classes=m_cfg.num_classes,
-                      backend=m_cfg.kernels, dropout=m_cfg.dropout)
+    model_kw = dict(backend=m_cfg.kernels, dropout=m_cfg.dropout)
+    if cfg.parallel.model_parallel > 1:
+        # channel/tensor parallelism over the model axis (SlowFast config)
+        model_kw["shard_axis"] = cfg.parallel.model_axis
+    model = get_model(m_cfg.name, num_classes=m_cfg.num_classes, **model_kw)
     tx = lr_lib.make_optimizer(t_cfg, steps_per_epoch)
 
     rng = jax.random.PRNGKey(t_cfg.seed)
@@ -67,8 +71,17 @@ def fit(
     sample_clips = np.zeros(
         (1, d_cfg.sampler.clip_len, ch, cw, 3), np.float32
     )
+    param_specs = None
+    if cfg.parallel.model_parallel > 1:
+        from fastvideotagging_tpu.parallel.mesh import param_partition_specs
+
+        boxed = jax.eval_shape(
+            lambda: model.init(rng, jnp.asarray(sample_clips), train=False))
+        param_specs = param_partition_specs(boxed)["params"]
     state = create_train_state(model, tx, rng, sample_clips)
-    state = jax.device_put(state, replicated(mesh))
+    from fastvideotagging_tpu.parallel.mesh import shard_train_state
+
+    state = shard_train_state(state, mesh, param_specs)
 
     ckpt = CheckpointManager(t_cfg.checkpoint_dir)
     start_epoch = 0
