@@ -9,6 +9,8 @@ driver's compile checks; set FVT_TEST_PLATFORM=tpu to run tests on the chip.
 import os
 
 _platform = os.environ.get("FVT_TEST_PLATFORM", "cpu")
+if _platform == "tpu":
+    _platform = "axon"  # this box's TPU PJRT plugin is named 'axon'
 os.environ["JAX_PLATFORMS"] = _platform  # for any subprocesses
 
 import jax  # noqa: E402
