@@ -39,6 +39,18 @@ def get_model(name: str, num_classes: int = 101, **kwargs) -> nn.Module:
     return _REGISTRY[name](num_classes=num_classes, **kwargs)
 
 
+def load_pretrained(name: str, weights_path: str, num_classes: int = 101,
+                    **kwargs) -> tuple[nn.Module, dict]:
+    """Constructor-with-weights (the reference's ``pretrained=`` path, C9):
+    builds the module and loads a weights-only export
+    (train.checkpoint.export_weights). Returns (module, variables)."""
+    from fastvideotagging_tpu.train.checkpoint import load_weights
+
+    model = get_model(name, num_classes=num_classes, **kwargs)
+    variables = load_weights(weights_path)
+    return model, variables
+
+
 @register("tiny3d")
 def _tiny3d(num_classes: int, **kw) -> nn.Module:
     """Small debug backbone for integration tests and pipeline smoke runs."""
