@@ -113,6 +113,25 @@ def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),
     return clips_per_sec, achieved_tflops, flops, sec
 
 
+def bench_inference(batch_size=32, clip_len=16, crop=112,
+                    model_name="r2plus1d_18"):
+    """Serving path: eval-mode forward clips/s (the tag()/evaluate hot loop)."""
+    from fastvideotagging_tpu.models import get_model
+
+    model = get_model(model_name, num_classes=101)
+    x = jnp.zeros((batch_size, clip_len, crop, crop, 3), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x[:1], train=False)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def step_once(carry):
+        xin = x if carry is None else x + carry[0, 0].astype(x.dtype) * 0
+        return fwd(variables, xin)
+
+    sec = _timeit_chain(step_once)
+    return batch_size / sec
+
+
 def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
     from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
 
@@ -148,6 +167,7 @@ def main():
     # MXU-aligned variant (same macro-architecture, 128-multiple channels).
     tpu_clips, tpu_tflops, _, _ = bench_train_step(
         batch_size, model_name="r2plus1d_18_tpu")
+    infer_clips = bench_inference(batch_size)
     frames_per_sec = bench_preprocess(batch_size)
 
     peak = _detect_peak_tflops()
@@ -167,6 +187,7 @@ def main():
             "roofline_fraction": round(roofline_frac, 4),
             "xla_flops_per_step": flops,
             "preprocess_frames_per_sec": round(frames_per_sec, 1),
+            "inference_clips_per_sec": round(infer_clips, 2),
             "r2plus1d18_tpu_variant_clips_per_sec": round(tpu_clips, 2),
             "r2plus1d18_tpu_variant_tflops": round(tpu_tflops, 2),
             "batch_size": batch_size,

@@ -18,6 +18,16 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Multi-host entry (SURVEY.md §6.8 DCN tier): wraps
+    jax.distributed.initialize; afterwards jax.devices() spans all hosts and
+    make_mesh lays data-parallel groups across DCN automatically (XLA routes
+    intra-slice collectives over ICI, inter-host over DCN)."""
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
 def make_mesh(
     data_parallel: int = -1,
     model_parallel: int = 1,
