@@ -101,6 +101,90 @@ def read_frames_at(path: str, indices: np.ndarray) -> np.ndarray:
         cap.release()
 
 
+class SequentialReader:
+    """Forward-streaming frame reader for long-form video (SURVEY.md §6.7).
+
+    Serves successive ``read(indices)`` calls with mostly-increasing indices
+    in ONE decode pass, keeping a small cache of recent frames for the
+    bounded backward overlap between dense clip windows (the tail window).
+    A request older than the cache triggers a rewind (reopen) — rare by
+    construction of the dense sampler. Memory: O(cache_size) frames.
+    """
+
+    def __init__(self, path: str, cache_size: int = 128):
+        _require_cv2()
+        self.path = path
+        self.cache_size = cache_size
+        self._cache: dict[int, np.ndarray] = {}
+        self._cap = None
+        self._pos = 0
+        self._last_good: np.ndarray | None = None
+        self._open()
+
+    def _open(self):
+        if self._cap is not None:
+            self._cap.release()
+        self._cap = cv2.VideoCapture(self.path)
+        if not self._cap.isOpened():
+            raise DecodeError(f"cannot open video: {self.path}")
+        self._pos = 0
+
+    def close(self):
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _advance_to(self, target: int) -> np.ndarray | None:
+        """Decode forward until frame ``target`` is read; returns it."""
+        out = None
+        while self._pos <= target:
+            ok = self._cap.grab()
+            if not ok:
+                break
+            ok, frame = self._cap.retrieve()
+            if ok and frame is not None:
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                self._last_good = rgb
+            else:
+                rgb = self._last_good
+            if rgb is not None:
+                self._cache[self._pos] = rgb
+                if len(self._cache) > self.cache_size:
+                    self._cache.pop(min(self._cache))
+                if self._pos == target:
+                    out = rgb
+            self._pos += 1
+        return out
+
+    def read(self, indices: np.ndarray) -> np.ndarray:
+        indices = np.asarray(indices, dtype=np.int64).reshape(-1)
+        frames: list[np.ndarray | None] = [None] * len(indices)
+        order = np.argsort(indices, kind="stable")
+        for k in order:
+            idx = int(indices[k])
+            f = self._cache.get(idx)
+            if f is None and idx < self._pos:
+                self._open()  # rewind (rare): older than the cache window
+                self._cache.clear()
+            if f is None and idx >= self._pos:
+                f = self._advance_to(idx)
+            if f is None:
+                f = self._last_good
+            frames[k] = f
+        if self._last_good is None:
+            raise DecodeError(f"no decodable frames in: {self.path}")
+        out = np.empty((len(indices),) + self._last_good.shape, np.uint8)
+        for i, f in enumerate(frames):
+            out[i] = f if f is not None else self._last_good
+        return out
+
+
 def read_all_frames(path: str, max_frames: int | None = None) -> np.ndarray:
     """Decode every frame (up to max_frames). Returns RGB uint8 (N, H, W, 3)."""
     _require_cv2()

@@ -26,16 +26,21 @@ from fastvideotagging_tpu.utils.logging import get_logger
 log = get_logger("fvt.eval")
 
 
-def _forward_scores(model, variables, clips, multilabel, clip_batch=8):
-    """Forward (K,T,ch,cw,3) clips in fixed-size chunks; returns (K,C) f32.
-
-    Chunks are padded to clip_batch so only one program shape is compiled.
-    """
-    apply = jax.jit(
+def _make_apply(model, multilabel):
+    """Build the jitted scores fn ONCE per eval run — a fresh lambda per
+    video would miss jax's jit cache and retrace every call."""
+    return jax.jit(
         lambda v, x: heads.predict_scores(
             model.apply(v, x, train=False), multilabel
         )
     )
+
+
+def _forward_scores(apply, variables, clips, clip_batch=8):
+    """Forward (K,T,ch,cw,3) clips in fixed-size chunks; returns (K,C) f32.
+
+    Chunks are padded to clip_batch so only one program shape is compiled.
+    """
     k = clips.shape[0]
     out = []
     for i in range(0, k, clip_batch):
@@ -54,7 +59,7 @@ def evaluate_video_scores(
 ) -> tuple[np.ndarray, list]:
     """Per-video aggregated scores. Returns (scores (N,C) f32, records)."""
     d = cfg.data
-    multilabel = cfg.model.multilabel
+    apply = _make_apply(model, cfg.model.multilabel)
     all_scores = []
     for i in range(len(dataset)):
         clips_u8, _rec = dataset.get_eval_clips(i)
@@ -62,7 +67,7 @@ def evaluate_video_scores(
             clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
             out_dtype_name=cfg.model.compute_dtype,
         )
-        scores = _forward_scores(model, variables, clips, multilabel, clip_batch)
+        scores = _forward_scores(apply, variables, clips, clip_batch)
         # Aggregation spec: f32 sum in clip order, divided by clip count.
         video = scores.astype(np.float32).sum(axis=0) / scores.shape[0]
         all_scores.append(video)

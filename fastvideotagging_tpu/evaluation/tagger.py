@@ -71,10 +71,15 @@ class Tagger:
         k = clip_idx.shape[0]
         total = np.zeros((self.cfg.model.num_classes,), np.float64)
         ship_hw = d.source_hw or d.resize_hw
+        # One forward decode pass over the whole video (O(video) total, not
+        # O(video^2) from reopening per chunk) with a small overlap cache.
+        span = (s.clip_len - 1) * s.stride + 1
+        reader = decode.SequentialReader(
+            video_path, cache_size=max(128, 2 * span))
         for i in range(0, k, self.clip_batch):
             chunk_idx = clip_idx[i : i + self.clip_batch]
             nclips, t = chunk_idx.shape
-            flat = decode.read_frames_at(video_path, chunk_idx.reshape(-1))
+            flat = reader.read(chunk_idx.reshape(-1))
             flat = _ensure_size(flat, ship_hw)
             clips_u8 = flat.reshape((nclips, t) + flat.shape[1:])
             if nclips < self.clip_batch:  # pad to the compiled shape
@@ -87,6 +92,7 @@ class Tagger:
             )
             scores = np.asarray(self._apply(self.variables, clips))[:nclips]
             total += scores.astype(np.float64).sum(axis=0)
+        reader.close()
         return (total / k).astype(np.float32)
 
     def tag(self, video_path: str, threshold: float = 0.5,
