@@ -60,10 +60,14 @@ def preprocess_batch(
         aw_i = jnp.where(flip, aw_i[::-1, :], aw_i)
         x = frames_i.astype(jnp.float32)  # (T, H0, W0, 3)
         # Same contraction order as the host spec: height, then width.
+        # precision=HIGHEST: TPU f32 matmuls otherwise use bf16 multiplies,
+        # which would put the resize ~1e-2 off the geometry spec.
         x = jnp.einsum("oh,thwc->towc", ah_i, x,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         x = jnp.einsum("pw,towc->topc", aw_i, x,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         return x
 
     x = jax.vmap(one)(frames, crop_tops, crop_lefts, flips)  # (B,T,ch,cw,3) f32

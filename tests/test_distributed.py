@@ -22,6 +22,10 @@ from tests.test_train import make_state, synth_batch, tiny_cfg
 from fastvideotagging_tpu.train.loop import make_train_step
 
 
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
 def test_mesh_construction():
     mesh = make_mesh()
     assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)

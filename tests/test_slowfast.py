@@ -60,6 +60,8 @@ class TestSlowFastModel:
                 lambda: model.init(jax.random.PRNGKey(0), x, train=False))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device CPU mesh")
 class TestChannelParallel:
     def _cfg(self):
         return ExperimentConfig(

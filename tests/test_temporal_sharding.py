@@ -10,6 +10,10 @@ from jax.sharding import Mesh
 from fastvideotagging_tpu.parallel.temporal import temporal_conv_time_sharded
 
 
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
 def _ref_conv(x, w):
     return lax.conv_general_dilated(
         x, w[:, None, None], (1, 1, 1), "SAME",

@@ -14,6 +14,13 @@ torch = pytest.importorskip("torch")
 
 from fastvideotagging_tpu.models.layers import BatchNorm, Conv3D  # noqa: E402
 
+# On TPU, f32 convs use bf16 multiplies by design (the production compute
+# path); the oracle check is semantic (padding/stride/stat conventions), so
+# tolerances widen to bf16 level there.
+_TPU = jax.default_backend() == "tpu"
+RTOL = 3e-2 if _TPU else 1e-4
+ATOL = 3e-2 if _TPU else 1e-4
+
 
 def _to_torch_nchw(x_nthwc):
     return torch.from_numpy(np.asarray(x_nthwc)).permute(0, 4, 1, 2, 3)
@@ -49,7 +56,7 @@ class TestConv3DAgainstTorch:
                  pads[0][0], pads[0][1]))
         theirs = torch.nn.functional.conv3d(xt, wt, stride=stride)
         theirs = theirs.permute(0, 2, 3, 4, 1).numpy()
-        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(ours, theirs, rtol=RTOL, atol=ATOL)
 
 
 class TestBatchNormAgainstTorch:
@@ -68,7 +75,7 @@ class TestBatchNormAgainstTorch:
         bn.train()
         theirs = bn(_to_torch_nchw(x)).detach().permute(0, 2, 3, 4, 1).numpy()
         np.testing.assert_allclose(np.asarray(ours), theirs,
-                                   rtol=1e-3, atol=1e-4)
+                                   rtol=max(RTOL, 1e-3), atol=ATOL)
 
     def test_r2plus1d_block_matches_torch_composition(self):
         """Factorized conv pair: ours vs a torch spatial+temporal composition."""
@@ -102,4 +109,4 @@ class TestBatchNormAgainstTorch:
         y = torch.relu(y)
         y = torch.nn.functional.conv3d(y, w_tmp, padding=(1, 0, 0))
         theirs = y.permute(0, 2, 3, 4, 1).numpy()
-        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(ours, theirs, rtol=max(RTOL, 1e-3), atol=ATOL)
