@@ -2,11 +2,8 @@
 (SURVEY.md N1; BASELINE [B:5] "factorized 2+1D spatial/temporal kernels
 written in Pallas").
 
-Why not just lax.conv? Measured on the v5e, XLA's conv runs the stage-1
-R(2+1)D layers at 25-48 TF/s (13-24% MFU): with C=64..144 channels the
-contraction dim wastes most of the 128-wide MXU lanes. These kernels use a
-**tap-packing** formulation: the k taps along one kernel axis are packed into
-the matmul contraction dim,
+These kernels use a **tap-packing** formulation: the k taps along one
+kernel axis are packed into the matmul contraction dim,
 
     spatial 1xkxk :  k matmuls of (TILE_H * W, k*C) @ (k*C, Co)
     temporal kx1x1:  1 matmul  of (T * TILE_S,  k*C) @ (k*C, Co)
@@ -25,14 +22,15 @@ concatenated along the lane (channel) dim — Mosaic allows lane-concat only
 for operands with identical sublane offsets, so the dw (sublane) shift is
 normalized by one column-slice per dw before the dh-concat.
 
-Status (v5e, 2026-08-16): standalone these kernels match or beat XLA's conv
-(spatial 51 vs 46 TF/s; temporal mixed), but inside the full jitted train
-step the custom-call boundary costs more than the kernels win: the
-(B,T,S,C) reshape materializes, operand layout constraints pad C=64 -> 128
-(2x HBM), and custom_vjp blocks XLA's fusion/remat (measured 4x slower
-end-to-end, and OOM at batch 32). Until the fused-block kernel lands
-(spatial+BN+ReLU+temporal in one pallas_call, NTHWC-native), the production
-default stays kernels='xla'; this path is opt-in via kernels='pallas'.
+Status (v5e, 2026-08-16, dedupe-proof measurement — the axon runtime caches
+identical dispatches, which inflated early numbers): XLA's native conv is
+FAST standalone (s1 spatial 110 TF/s, s2 163 TF/s — it evidently tap-packs
+internally), and these Pallas kernels are slower standalone AND inside the
+train step (custom-call boundaries: layout padding C=64 -> 128, no
+fusion/remat across, 4x slower end-to-end, OOM at batch 32). They remain
+first-party, correctness-tested (interpret + on-chip) foundations for
+future fused/whole-stage work; the production default is kernels='xla' and
+the honest conclusion is that XLA wins this op shape today.
 
 Scope: stride-1 SAME convs with channels >= MIN_C take the Pallas path;
 strided stage-entry convs and the tiny-channel stem fall back to
