@@ -17,8 +17,6 @@ import json
 import tempfile
 import time
 
-import numpy as np
-
 from fastvideotagging_tpu.config import ClipSamplerConfig, DataConfig
 from fastvideotagging_tpu.data import synthetic
 from fastvideotagging_tpu.data.pipeline import ClipDataset, device_prefetch, train_batches

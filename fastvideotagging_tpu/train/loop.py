@@ -19,8 +19,7 @@ all subsumed by this one jitted function.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

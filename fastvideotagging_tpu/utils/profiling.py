@@ -14,7 +14,6 @@ import contextlib
 import time
 
 import jax
-import numpy as np
 
 
 @contextlib.contextmanager

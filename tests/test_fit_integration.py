@@ -6,7 +6,6 @@ script converging) as a real test (SURVEY.md §5.4).
 
 import os
 
-import numpy as np
 import pytest
 
 from fastvideotagging_tpu.config import (

@@ -13,11 +13,10 @@ from fastvideotagging_tpu.config import (
 )
 from fastvideotagging_tpu.data.ucf101 import load_tag_list
 from fastvideotagging_tpu.evaluation.tagger import Tagger
-from fastvideotagging_tpu.models import get_model
 from fastvideotagging_tpu.models.zoo import load_pretrained
 from fastvideotagging_tpu.train.checkpoint import export_weights
 from fastvideotagging_tpu.train.loop import make_train_step
-from tests.test_train import make_state, synth_batch, tiny_cfg
+from tests.test_train import make_state, synth_batch
 
 
 def test_1k_tag_train_step_and_dense_tagging(synthetic_dataset, tmp_path):
