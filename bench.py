@@ -119,14 +119,20 @@ def bench_inference(batch_size=32, clip_len=16, crop=112,
     from fastvideotagging_tpu.models import get_model
 
     model = get_model(model_name, num_classes=101)
-    x = jnp.zeros((batch_size, clip_len, crop, crop, 3), jnp.bfloat16)
+    x0 = jnp.zeros((batch_size, clip_len, crop, crop, 3), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames="train")(
-        jax.random.PRNGKey(0), x[:1], train=False)
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        jax.random.PRNGKey(0), x0[:1], train=False)
+
+    @jax.jit
+    def step(xi):
+        y = model.apply(variables, xi, train=False)
+        # numerically-evolving chain: the axon runtime dedupes identical
+        # dispatches, so the next input must genuinely differ
+        return y, xi + (y[0, 0] * 1e-6).astype(xi.dtype).mean()
 
     def step_once(carry):
-        xin = x if carry is None else x + carry[0, 0].astype(x.dtype) * 0
-        return fwd(variables, xin)
+        _, xn = step(x0 if carry is None else carry)
+        return xn
 
     sec = _timeit_chain(step_once)
     return batch_size / sec
@@ -149,9 +155,9 @@ def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
     def chained(f):
         out = preprocess_batch(f, tops, lefts, flips, mean, std,
                                resize_hw=source_hw, crop_hw=(112, 112))
-        # feed a zero derived from the output back into the frames so the
-        # next iteration truly depends on this one
-        dep = (out[0, 0, 0, 0, 0] * 0).astype(jnp.uint8)
+        # numerically-evolving dependency (u8 wraps around) so the axon
+        # runtime cannot dedupe the next iteration's dispatch
+        dep = (out[0, 0, 0, 0, 0] * 0 + 1).astype(jnp.uint8)
         return f + dep
 
     def step_once(carry):
