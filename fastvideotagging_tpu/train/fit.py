@@ -97,6 +97,20 @@ def fit(
     mlog = MetricsLogger(metrics_path)
     global_step = int(state.step)
 
+    from fastvideotagging_tpu.utils.interrupt import GracefulStopper
+
+    with GracefulStopper() as stopper:
+        state, global_step = _epoch_loop(
+            cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
+            global_step, start_epoch, eval_fn, stopper)
+    ckpt.wait()
+    mlog.close()
+    return state
+
+
+def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
+                global_step, start_epoch, eval_fn, stopper):
+    t_cfg, d_cfg = cfg.train, cfg.data
     for epoch in range(start_epoch, t_cfg.num_epochs):
         loss_avg, top1_avg = RunningMean(), RunningMean()
         epoch_start = time.time()
@@ -107,6 +121,12 @@ def fit(
             sharding=data_sh, depth=d_cfg.prefetch_depth,
         )
         for batch in batches:
+            if stopper.stop_requested:
+                ckpt.save(global_step, jax.device_get(state),
+                          {"epoch": epoch - 1})
+                log.warning("stopping at step %d on request; checkpoint saved "
+                            "(resume with --resume)", global_step)
+                return state, global_step
             dropout_rng = jax.random.fold_in(rng, global_step)
             state, metrics = step_fn(state, batch, dropout_rng)
             global_step += 1
@@ -131,6 +151,4 @@ def fit(
             scalars = eval_fn(state, epoch)
             mlog.log(global_step, **{f"eval_{k}": v for k, v in scalars.items()})
 
-    ckpt.wait()
-    mlog.close()
-    return state
+    return state, global_step
