@@ -1,0 +1,71 @@
+"""Serving export: serialize the inference function as portable StableHLO.
+
+Production deployment path beyond Python: `export_serving_fn` bakes the
+trained weights into a jitted scores function (uint8 clips in, per-class
+scores out — the full fused preprocess + backbone + sigmoid/softmax) and
+serializes it with jax.export. The artifact is a self-contained StableHLO
+program loadable by any JAX process (or a C++ PJRT runner) without this
+package's code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from fastvideotagging_tpu.config import ExperimentConfig
+from fastvideotagging_tpu.models import get_model, heads
+from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
+
+
+def make_serving_fn(cfg: ExperimentConfig, variables: dict):
+    """(clips uint8 (N,T,H,W,3)) -> scores f32 (N,K): preprocess + fwd + head.
+
+    Center-crop, no flip — the deterministic eval path baked end to end.
+    """
+    d = cfg.data
+    model = get_model(cfg.model.name, num_classes=cfg.model.num_classes,
+                      backend="xla", dropout=cfg.model.dropout)
+    rh, rw = d.resize_hw
+    ch, cw = d.crop_hw
+    top, left = (rh - ch) // 2, (rw - cw) // 2
+    mean = jnp.asarray(d.mean, jnp.float32)
+    std = jnp.asarray(d.std, jnp.float32)
+    multilabel = cfg.model.multilabel
+
+    def scores(frames_u8):
+        n = frames_u8.shape[0]
+        clips = preprocess_batch(
+            frames_u8,
+            jnp.full((n,), top, jnp.int32), jnp.full((n,), left, jnp.int32),
+            jnp.zeros((n,), bool), mean, std,
+            resize_hw=d.resize_hw, crop_hw=d.crop_hw,
+            out_dtype_name=cfg.model.compute_dtype,
+        )
+        logits = model.apply(variables, clips, train=False)
+        return heads.predict_scores(logits, multilabel)
+
+    return scores
+
+
+def export_serving(cfg: ExperimentConfig, variables: dict, clip_batch: int,
+                   path: str | None = None) -> bytes:
+    """Serialize the serving fn for (clip_batch, T, H, W, 3) uint8 input."""
+    d = cfg.data
+    h, w = d.source_hw or d.resize_hw
+    spec = jax.ShapeDtypeStruct(
+        (clip_batch, d.sampler.clip_len, h, w, 3), jnp.uint8)
+    fn = jax.jit(make_serving_fn(cfg, variables))
+    data = jax_export.export(fn)(spec).serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def load_serving(path_or_bytes) -> "jax_export.Exported":
+    """Deserialize an exported serving program; run via ``.call(clips)``."""
+    data = (path_or_bytes if isinstance(path_or_bytes, bytes)
+            else open(path_or_bytes, "rb").read())
+    return jax_export.deserialize(data)
