@@ -1,0 +1,80 @@
+"""Dataset preparation CLI (reference L6: dataset prep script; SURVEY.md §2).
+
+Scans a UCF101-style directory tree (``root/ClassName/video.ext``) and writes
+``classInd.txt`` plus train/val split lists compatible with cli/train.py:
+
+    python -m fastvideotagging_tpu.cli.prepare /data/ucf101 \
+        --val-fraction 0.25 --seed 0 --out /data/ucf101
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+VIDEO_EXTS = (".avi", ".mp4", ".mkv", ".mov", ".webm", ".m4v")
+
+
+def scan_tree(root: str) -> dict[str, list[str]]:
+    """{class_name: [relative video paths]} for root/Class/video.ext trees."""
+    classes: dict[str, list[str]] = {}
+    for entry in sorted(os.scandir(root), key=lambda e: e.name):
+        if not entry.is_dir():
+            continue
+        vids = sorted(
+            f"{entry.name}/{f}" for f in os.listdir(entry.path)
+            if f.lower().endswith(VIDEO_EXTS)
+        )
+        if vids:
+            classes[entry.name] = vids
+    return classes
+
+
+def write_splits(classes: dict[str, list[str]], out_dir: str,
+                 val_fraction: float = 0.25, seed: int = 0) -> dict:
+    """Write classInd.txt + trainlist01.txt + testlist01.txt (UCF101 format:
+    1-based ids in the train list, bare paths in the test list)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+    names = sorted(classes)
+    with open(os.path.join(out_dir, "classInd.txt"), "w") as f:
+        for i, name in enumerate(names):
+            f.write(f"{i + 1} {name}\n")
+
+    train_rows, test_rows = [], []
+    for i, name in enumerate(names):
+        vids = list(classes[name])
+        order = rng.permutation(len(vids))
+        n_val = max(1, int(round(len(vids) * val_fraction))) if len(vids) > 1 else 0
+        for j, k in enumerate(order):
+            if j < n_val:
+                test_rows.append(vids[k])
+            else:
+                train_rows.append(f"{vids[k]} {i + 1}")
+    with open(os.path.join(out_dir, "trainlist01.txt"), "w") as f:
+        f.write("\n".join(sorted(train_rows)) + "\n")
+    with open(os.path.join(out_dir, "testlist01.txt"), "w") as f:
+        f.write("\n".join(sorted(test_rows)) + "\n")
+    return {"classes": len(names), "train": len(train_rows),
+            "val": len(test_rows)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("root", help="dataset root: root/ClassName/video.ext")
+    p.add_argument("--out", default=None, help="output dir (default: root)")
+    p.add_argument("--val-fraction", type=float, default=0.25)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    classes = scan_tree(args.root)
+    if not classes:
+        raise SystemExit(f"no class directories with videos under {args.root}")
+    stats = write_splits(classes, args.out or args.root,
+                         args.val_fraction, args.seed)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()
