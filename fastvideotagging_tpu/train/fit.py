@@ -40,9 +40,14 @@ def fit(
     """Train per config; returns the final TrainState.
 
     eval_fn: optional callable (state, epoch) -> dict of eval scalars, run
-    after each epoch (evaluation/evaluate.py provides one).
+    after each epoch. If absent and ``val_records`` is given, the standard
+    multi-clip evaluator is built automatically.
     """
     t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
+    if eval_fn is None and val_records:
+        from fastvideotagging_tpu.evaluation.evaluate import make_eval_fn
+
+        eval_fn = make_eval_fn(cfg, val_records, num_tags=num_tags)
     mesh = mesh or make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
     data_shards = mesh.shape[cfg.parallel.data_axis]
     if t_cfg.batch_size % data_shards != 0:

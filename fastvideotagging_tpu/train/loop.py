@@ -82,22 +82,6 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
-    """Jitted eval forward on preprocessed clips: (variables, clips) -> scores.
-
-    clips: (N, T, ch, cw, 3) float — N is a flat batch of clips (possibly
-    from multiple videos); aggregation happens outside (evaluation/).
-    """
-    multilabel = cfg.model.multilabel
-
-    @jax.jit
-    def eval_step(variables, clips):
-        logits = model.apply(variables, clips, train=False)
-        return heads.predict_scores(logits, multilabel)
-
-    return eval_step
-
-
 def make_sample_batch(cfg: ExperimentConfig, batch_size: int | None = None) -> dict:
     """A zeros batch with the config's exact shapes (for init / compile / dryrun)."""
     d = cfg.data
