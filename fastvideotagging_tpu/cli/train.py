@@ -46,13 +46,7 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
     train_records, val_records, num_tags = load_records(cfg, args)
-
-    eval_fn = None
-    if val_records:
-        from fastvideotagging_tpu.evaluation.evaluate import make_eval_fn
-
-        eval_fn = make_eval_fn(cfg, val_records, num_tags=num_tags)
-    fit(cfg, train_records, num_tags=num_tags, eval_fn=eval_fn,
+    fit(cfg, train_records, val_records=val_records, num_tags=num_tags,
         metrics_path=args.metrics_jsonl)
 
 
