@@ -74,8 +74,14 @@ class Tagger:
         # One forward decode pass over the whole video (O(video) total, not
         # O(video^2) from reopening per chunk) with a small overlap cache.
         span = (s.clip_len - 1) * s.stride + 1
-        reader = decode.SequentialReader(
-            video_path, cache_size=max(128, 2 * span))
+        with decode.SequentialReader(
+                video_path, cache_size=max(128, 2 * span)) as reader:
+            total = self._score_chunks(reader, clip_idx, ship_hw, total)
+        return (total / k).astype(np.float32)
+
+    def _score_chunks(self, reader, clip_idx, ship_hw, total):
+        d = self.cfg.data
+        k = clip_idx.shape[0]
         for i in range(0, k, self.clip_batch):
             chunk_idx = clip_idx[i : i + self.clip_batch]
             nclips, t = chunk_idx.shape
@@ -92,8 +98,7 @@ class Tagger:
             )
             scores = np.asarray(self._apply(self.variables, clips))[:nclips]
             total += scores.astype(np.float64).sum(axis=0)
-        reader.close()
-        return (total / k).astype(np.float32)
+        return total
 
     def tag(self, video_path: str, threshold: float = 0.5,
             top_k: int | None = None) -> list[TagResult]:

@@ -174,7 +174,11 @@ def spatial_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """
     b, t, h, w_dim, c = x.shape
     k = w.shape[0]
-    if stride == 1 and c >= MIN_C and h >= k and w_dim >= k:
+    # The halo comes from the head of the NEXT row-block, so the H tile must
+    # hold at least k-1 rows (fails for prime H > 16, where the only divisor
+    # tile is 1) — fall back to lax otherwise.
+    if (stride == 1 and c >= MIN_C and h >= k and w_dim >= k
+            and _pick_tile(h, 16) >= k - 1):
         y = _spatial_op(x.reshape(b * t, h, w_dim, c), w)
         return y.reshape(b, t, h, w_dim, -1)
     return lax.conv_general_dilated(
