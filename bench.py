@@ -167,14 +167,23 @@ def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
     return batch_size * clip_len / sec
 
 
+def _safe(fn, default):
+    """Secondary benches must never kill the headline metric."""
+    try:
+        return fn()
+    except Exception:
+        return default
+
+
 def main():
     batch_size = 32
     clips_per_sec, achieved_tflops, flops, sec = bench_train_step(batch_size)
     # MXU-aligned variant (same macro-architecture, 128-multiple channels).
-    tpu_clips, tpu_tflops, _, _ = bench_train_step(
-        batch_size, model_name="r2plus1d_18_tpu")
-    infer_clips = bench_inference(batch_size)
-    frames_per_sec = bench_preprocess(batch_size)
+    tpu_clips, tpu_tflops = _safe(
+        lambda: bench_train_step(batch_size, model_name="r2plus1d_18_tpu")[:2],
+        (-1.0, -1.0))
+    infer_clips = _safe(lambda: bench_inference(batch_size), -1.0)
+    frames_per_sec = _safe(lambda: bench_preprocess(batch_size), -1.0)
 
     peak = _detect_peak_tflops()
     roofline_frac = achieved_tflops / peak if peak else 0.0
