@@ -16,7 +16,7 @@ from fastvideotagging_tpu.cli.common import add_common_flags, build_config
 from fastvideotagging_tpu.data import ucf101
 from fastvideotagging_tpu.data.pipeline import ClipDataset
 from fastvideotagging_tpu.evaluation.evaluate import evaluate
-from fastvideotagging_tpu.models import get_model
+from fastvideotagging_tpu.models import model_from_config
 from fastvideotagging_tpu.train import lr as lr_lib
 from fastvideotagging_tpu.train.checkpoint import CheckpointManager
 from fastvideotagging_tpu.train.state import create_train_state
@@ -38,8 +38,7 @@ def main(argv=None):
     num_tags = cfg.model.num_classes if cfg.model.multilabel else None
     dataset = ClipDataset(records, cfg.data, mode="eval", num_tags=num_tags)
 
-    model = get_model(cfg.model.name, num_classes=cfg.model.num_classes,
-                      backend=cfg.model.kernels, dropout=cfg.model.dropout)
+    model = model_from_config(cfg.model)
     import jax.numpy as jnp
 
     ch, cw = cfg.data.crop_hw

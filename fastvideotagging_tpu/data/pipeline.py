@@ -181,9 +181,11 @@ def train_batches(
         np.random.Philox(key=np.uint64(dataset.seed), counter=[0, 0, 0, epoch])
     ).permutation(len(dataset))
     usable = len(order) - (len(order) % batch_size) if drop_last else len(order)
-    if usable == 0 and not drop_last:
+    if usable == 0:
+        # drop_last with len(dataset) < batch_size: no full batch can ever be
+        # formed — yield nothing rather than decoding the whole set for free.
         return
-    indices = order[:usable] if usable else order
+    indices = order[:usable]
 
     with cf.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         window = max(2 * batch_size, num_workers * 2)

@@ -14,7 +14,7 @@ import numpy as np
 
 from fastvideotagging_tpu.config import ExperimentConfig
 from fastvideotagging_tpu.data.pipeline import ClipDataset
-from fastvideotagging_tpu.models import get_model, heads
+from fastvideotagging_tpu.models import heads, model_from_config
 from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_eval_clip
 from fastvideotagging_tpu.train.metrics import (
     mean_average_precision,
@@ -98,8 +98,7 @@ def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
                  clip_batch: int = 8):
     """Builds the per-epoch eval hook used by train.fit."""
     dataset = ClipDataset(val_records, cfg.data, mode="eval", num_tags=num_tags)
-    model = get_model(cfg.model.name, num_classes=cfg.model.num_classes,
-                      backend=cfg.model.kernels, dropout=cfg.model.dropout)
+    model = model_from_config(cfg.model)
 
     def eval_fn(state, epoch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from fastvideotagging_tpu.config import ExperimentConfig
-from fastvideotagging_tpu.models import get_model, heads
+from fastvideotagging_tpu.models import heads, model_from_config
 from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
 
 
@@ -25,8 +25,7 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict):
     Center-crop, no flip — the deterministic eval path baked end to end.
     """
     d = cfg.data
-    model = get_model(cfg.model.name, num_classes=cfg.model.num_classes,
-                      backend="xla", dropout=cfg.model.dropout)
+    model = model_from_config(cfg.model, backend="xla")
     rh, rw = d.resize_hw
     ch, cw = d.crop_hw
     top, left = (rh - ch) // 2, (rw - cw) // 2

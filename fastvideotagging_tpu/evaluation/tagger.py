@@ -21,7 +21,7 @@ import numpy as np
 from fastvideotagging_tpu.config import ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig
 from fastvideotagging_tpu.data import decode, sampler
 from fastvideotagging_tpu.data.pipeline import _ensure_size
-from fastvideotagging_tpu.models import get_model, heads
+from fastvideotagging_tpu.models import heads, model_from_config
 from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_eval_clip
 
 
@@ -51,8 +51,7 @@ class Tagger:
             raise ValueError(
                 f"{len(self.tag_names)} tag names for {k} classes"
             )
-        model = get_model(cfg.model.name, num_classes=k,
-                          backend=cfg.model.kernels, dropout=cfg.model.dropout)
+        model = model_from_config(cfg.model)
         self._apply = jax.jit(
             lambda v, x: heads.predict_scores(
                 model.apply(v, x, train=False), cfg.model.multilabel

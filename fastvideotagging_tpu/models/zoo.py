@@ -39,6 +39,27 @@ def get_model(name: str, num_classes: int = 101, **kwargs) -> nn.Module:
     return _REGISTRY[name](num_classes=num_classes, **kwargs)
 
 
+def model_from_config(m_cfg, **overrides) -> nn.Module:
+    """Build the model exactly as a ``ModelConfig`` specifies.
+
+    The single place where config fields become constructor kwargs — in
+    particular ``compute_dtype``, which every production call site (fit, eval,
+    tagger, serving, CLI) must honor rather than silently running the models'
+    default bf16. ``overrides`` win over config fields (e.g. serving pins
+    ``backend='xla'`` for export portability).
+    """
+    import jax.numpy as jnp
+
+    kw = dict(
+        num_classes=m_cfg.num_classes,
+        backend=m_cfg.kernels,
+        dropout=m_cfg.dropout,
+        dtype=jnp.dtype(m_cfg.compute_dtype),
+    )
+    kw.update(overrides)
+    return get_model(m_cfg.name, **kw)
+
+
 def load_pretrained(name: str, weights_path: str, num_classes: int = 101,
                     **kwargs) -> tuple[nn.Module, dict]:
     """Constructor-with-weights (the reference's ``pretrained=`` path, C9):

@@ -16,8 +16,8 @@ import numpy as np
 
 from fastvideotagging_tpu.config import ExperimentConfig
 from fastvideotagging_tpu.data.pipeline import ClipDataset, device_prefetch, train_batches
-from fastvideotagging_tpu.models import get_model
-from fastvideotagging_tpu.parallel import batch_sharding, make_mesh, replicated
+from fastvideotagging_tpu.models import model_from_config
+from fastvideotagging_tpu.parallel import batch_sharding, make_mesh
 from fastvideotagging_tpu.train import lr as lr_lib
 from fastvideotagging_tpu.train.checkpoint import CheckpointManager
 from fastvideotagging_tpu.train.loop import make_sample_batch, make_train_step
@@ -60,13 +60,19 @@ def fit(
 
     dataset = ClipDataset(train_records, d_cfg, mode="train", num_tags=num_tags,
                           seed=t_cfg.seed)
+    if len(dataset) < t_cfg.batch_size:
+        # train_batches with drop_last would yield zero batches per epoch
+        # while still paying full decode cost — fail loudly instead.
+        raise ValueError(
+            f"dataset has {len(dataset)} samples < batch_size="
+            f"{t_cfg.batch_size}; no full batch can be formed")
     steps_per_epoch = max(1, len(dataset) // t_cfg.batch_size)
 
-    model_kw = dict(backend=m_cfg.kernels, dropout=m_cfg.dropout)
+    model_kw = {}
     if cfg.parallel.model_parallel > 1:
         # channel/tensor parallelism over the model axis (SlowFast config)
         model_kw["shard_axis"] = cfg.parallel.model_axis
-    model = get_model(m_cfg.name, num_classes=m_cfg.num_classes, **model_kw)
+    model = model_from_config(m_cfg, **model_kw)
     tx = lr_lib.make_optimizer(t_cfg, steps_per_epoch)
 
     rng = jax.random.PRNGKey(t_cfg.seed)
@@ -93,7 +99,10 @@ def fit(
     if t_cfg.resume:
         restored, extra = ckpt.restore(state)
         if restored is not None:
-            state = jax.device_put(restored, replicated(mesh))
+            # Re-apply the same shardings as the fresh-init path: a plain
+            # replicated device_put would silently drop the channel-sharding
+            # PartitionSpecs when model_parallel > 1.
+            state = shard_train_state(restored, mesh, param_specs)
             start_epoch = int(extra.get("epoch", -1)) + 1
             log.info("resumed from step %d (epoch %d)", int(state.step), start_epoch)
 
@@ -147,7 +156,11 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                          samples_per_sec=speed)
             if (t_cfg.checkpoint_every_steps
                     and global_step % t_cfg.checkpoint_every_steps == 0):
-                ckpt.save(global_step, jax.device_get(state), {"epoch": epoch})
+                # Mid-epoch save records epoch-1 (like the graceful-stop path)
+                # so resume re-runs the interrupted epoch rather than silently
+                # skipping its remaining batches.
+                ckpt.save(global_step, jax.device_get(state),
+                          {"epoch": epoch - 1})
 
         log.info("epoch %d done in %.1fs loss=%.4f top1=%.4f", epoch,
                  time.time() - epoch_start, loss_avg.value, top1_avg.value)

@@ -13,13 +13,20 @@ from fastvideotagging_tpu.config import TrainConfig
 
 
 def multifactor_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
-    """base_lr, x lr_decay at each epoch in lr_steps, with linear warmup."""
+    """base_lr, x lr_decay at each epoch in lr_steps, with linear warmup.
+
+    join_schedules passes (step - warmup_steps) into the post-warmup schedule,
+    so the decay boundaries are expressed relative to the end of warmup —
+    otherwise every lr_steps epoch would fire warmup_epochs late.
+    """
+    warmup_steps = (max(1, int(cfg.warmup_epochs * steps_per_epoch))
+                    if cfg.warmup_epochs > 0 else 0)
     boundaries = {
-        int(e * steps_per_epoch): cfg.lr_decay for e in cfg.lr_steps
+        int(e * steps_per_epoch) - warmup_steps: cfg.lr_decay
+        for e in cfg.lr_steps
     }
     sched = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
-    if cfg.warmup_epochs > 0:
-        warmup_steps = max(1, int(cfg.warmup_epochs * steps_per_epoch))
+    if warmup_steps:
         warmup = optax.linear_schedule(0.0, cfg.base_lr, warmup_steps)
         return optax.join_schedules([warmup, sched], [warmup_steps])
     return sched

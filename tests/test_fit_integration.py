@@ -63,6 +63,17 @@ def test_fit_runs_and_checkpoints(synthetic_dataset, records, tmp_path):
     assert any(os.scandir(str(tmp_path / "ckpt")))
 
 
+def test_fit_rejects_dataset_smaller_than_batch(synthetic_dataset, records,
+                                                tmp_path):
+    import dataclasses
+
+    cfg = fit_cfg(tmp_path, epochs=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=len(records) + 1))
+    with pytest.raises(ValueError, match="batch_size"):
+        fit(cfg, records)
+
+
 def test_fit_resume_continues(synthetic_dataset, records, tmp_path):
     cfg = fit_cfg(tmp_path, epochs=1)
     state1 = fit(cfg, records)

@@ -93,6 +93,13 @@ class TestTrainBatches:
         assert len(batches) == 2
         assert batches[1]["frames"].shape[0] == 2
 
+    def test_drop_last_smaller_than_batch_yields_nothing(self, dataset):
+        # 6 videos < batch 7: with drop_last no full batch exists; the
+        # iterator must terminate immediately (and not decode the whole set).
+        batches = list(train_batches(dataset, batch_size=7, epoch=0,
+                                     num_workers=2, drop_last=True))
+        assert batches == []
+
 
 class TestDevicePrefetch:
     def test_order_and_count(self):

@@ -142,6 +142,10 @@ class TestSchedules:
         assert float(sched(0)) == pytest.approx(0.0)
         assert float(sched(5)) == pytest.approx(0.05)
         assert float(sched(10)) == pytest.approx(0.1)
+        # Decay boundaries are ABSOLUTE epochs: with warmup the epoch-2 drop
+        # must still fire at step 20, not warmup_steps later.
+        assert float(sched(19)) == pytest.approx(0.1)
+        assert float(sched(20)) == pytest.approx(0.01)
 
 
 class TestCheckpoint:
