@@ -68,7 +68,7 @@ def _timeit_chain(step_once, warmup=2, n_short=4, n_long=16):
 
 
 def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),
-                     model_name="r2plus1d_18"):
+                     model_name="r2plus1d_18", norm="batch"):
     from fastvideotagging_tpu.config import (
         ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
     )
@@ -78,12 +78,13 @@ def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),
     from fastvideotagging_tpu.train.state import create_train_state
 
     cfg = ExperimentConfig(
-        model=ModelConfig(name=model_name, num_classes=101),
-        data=DataConfig(source_hw=source_hw, crop_hw=(crop, crop),
+        model=ModelConfig(name=model_name, num_classes=101, norm=norm),
+        data=DataConfig(source_hw=source_hw, resize_hw=source_hw,
+                        crop_hw=(crop, crop),
                         sampler=ClipSamplerConfig(clip_len=clip_len)),
         train=TrainConfig(batch_size=batch_size),
     )
-    model = get_model(cfg.model.name, num_classes=101)
+    model = get_model(cfg.model.name, num_classes=101, norm=norm)
     tx = lr_lib.make_optimizer(cfg.train, steps_per_epoch=100)
     sample = jnp.zeros((1, clip_len, crop, crop, 3), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
@@ -167,11 +168,18 @@ def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
     return batch_size * clip_len / sec
 
 
-def _safe(fn, default):
-    """Secondary benches must never kill the headline metric."""
+def _safe(fn, default, label="secondary bench"):
+    """Secondary benches must never kill the headline metric — but a failure
+    must be visible: traceback goes to stderr, the sentinel to the JSON."""
     try:
         return fn()
     except Exception:
+        import sys
+        import traceback
+
+        print(f"[bench] {label} failed (reporting {default!r}):",
+              file=sys.stderr)
+        traceback.print_exc()
         return default
 
 
@@ -181,9 +189,21 @@ def main():
     # MXU-aligned variant (same macro-architecture, 128-multiple channels).
     tpu_clips, tpu_tflops = _safe(
         lambda: bench_train_step(batch_size, model_name="r2plus1d_18_tpu")[:2],
-        (-1.0, -1.0))
-    infer_clips = _safe(lambda: bench_inference(batch_size), -1.0)
-    frames_per_sec = _safe(lambda: bench_preprocess(batch_size), -1.0)
+        (-1.0, -1.0), "r2plus1d_18_tpu train step")
+    infer_clips = _safe(lambda: bench_inference(batch_size), -1.0, "inference")
+    frames_per_sec = _safe(lambda: bench_preprocess(batch_size), -1.0,
+                           "preprocess")
+    # [B:9] Kinetics config: R(2+1)D-34 at 32x224x224. Batch sized to fit
+    # v5e HBM (16 GB); tracked as a secondary detail metric per VERDICT r1.
+    kinetics_clips = _safe(
+        lambda: bench_train_step(batch_size=8, clip_len=32, crop=224,
+                                 source_hw=(256, 342),
+                                 model_name="r2plus1d_34")[0],
+        -1.0, "kinetics r2plus1d_34 train step")
+    # BN-lite (norm='frozen') fine-tune variant of the headline config.
+    frozen_clips = _safe(
+        lambda: bench_train_step(batch_size, norm="frozen")[0],
+        -1.0, "frozen-BN train step")
 
     peak = _detect_peak_tflops()
     roofline_frac = achieved_tflops / peak if peak else 0.0
@@ -205,6 +225,8 @@ def main():
             "inference_clips_per_sec": round(infer_clips, 2),
             "r2plus1d18_tpu_variant_clips_per_sec": round(tpu_clips, 2),
             "r2plus1d18_tpu_variant_tflops": round(tpu_tflops, 2),
+            "kinetics_r2plus1d34_clips_per_sec": round(kinetics_clips, 2),
+            "frozen_bn_clips_per_sec": round(frozen_clips, 2),
             "batch_size": batch_size,
             "device": jax.devices()[0].device_kind,
         },

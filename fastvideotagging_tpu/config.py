@@ -65,6 +65,12 @@ class ModelConfig:
     # 'pallas' -> first-party Pallas kernels for the factorized (2+1)D convs
     kernels: str = "xla"
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
+    # Normalization (r2plus1d family + tiny3d; models.layers.Norm):
+    # 'batch'  -> BatchNorm, batch stats in train (reference-faithful default)
+    # 'frozen' -> BN-lite: running averages always; removes the batch-stats
+    #             passes from the train step (+15% measured on v5e)
+    # 'group'  -> GroupNorm, batch-independent, no running stats
+    norm: str = "batch"
 
 
 @dataclasses.dataclass(frozen=True)

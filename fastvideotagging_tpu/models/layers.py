@@ -53,6 +53,19 @@ def _triple(v) -> tuple[int, int, int]:
     return t
 
 
+def symmetric_padding(kernel: tuple[int, int, int]):
+    """[(k//2, k//2)] per dim — torch/MXNet 'pad=k//2' conv semantics.
+
+    This is the reference-faithful padding (the reference's MXNet substrate
+    pads symmetrically), and what public torch checkpoints were trained
+    with. Identical to XLA 'SAME' for stride 1 and odd k; for strided convs
+    'SAME' pads asymmetrically (lo=total//2), which shifts the sampling grid
+    by one pixel/frame relative to torch/MXNet. Output shapes match 'SAME'
+    exactly for odd k (floor((in-1)/s)+1 == ceil(in/s)).
+    """
+    return tuple((k // 2, k // 2) for k in kernel)
+
+
 class Conv3D(nn.Module):
     """3D convolution on NTHWC input, kernel layout (kt, kh, kw, cin, cout).
 
@@ -65,7 +78,9 @@ class Conv3D(nn.Module):
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = (1, 1, 1)
-    padding: Any = "SAME"  # 'SAME' | 'VALID' | explicit [(lo,hi)]*3
+    # 'SYM' (default) -> torch/MXNet-faithful symmetric (k//2, k//2) padding;
+    # also accepts 'SAME' | 'VALID' | explicit [(lo,hi)]*3.
+    padding: Any = "SYM"
     use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -86,11 +101,13 @@ class Conv3D(nn.Module):
             self.param_dtype,
         )
         kernel = nn.meta.unbox(kernel)
+        padding = (symmetric_padding((kt, kh, kw))
+                   if self.padding == "SYM" else self.padding)
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=_triple(self.strides),
-            padding=self.padding,
+            padding=padding,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
         if self.use_bias:
@@ -141,7 +158,7 @@ class SpatialConv(nn.Module):
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
                 window_strides=(1, self.stride, self.stride),
-                padding="SAME",
+                padding=symmetric_padding((1, k, k)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
         if self.use_bias:
@@ -185,7 +202,7 @@ class TemporalConv(nn.Module):
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
                 window_strides=(self.stride, 1, 1),
-                padding="SAME",
+                padding=symmetric_padding((k, 1, 1)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
         if self.use_bias:
@@ -196,14 +213,32 @@ class TemporalConv(nn.Module):
         return y.astype(self.dtype)
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm over (B, T, H, W); stats in f32; optional cross-device sync.
+def _num_groups(channels: int, max_groups: int = 32) -> int:
+    """Largest group count <= max_groups dividing `channels` (GroupNorm needs
+    an exact division; the paper mid-channels 45/144/230/... are not all
+    multiples of 32)."""
+    for g in range(min(max_groups, channels), 0, -1):
+        if channels % g == 0:
+            return g
+    return 1
 
-    When ``axis_name`` is set (the data-parallel mesh axis), batch statistics
-    are psum-synced over ICI — the TPU equivalent of SyncBN; None reproduces
-    per-device statistics like the reference's per-GPU BN (SURVEY.md N2).
+
+class Norm(nn.Module):
+    """Normalization layer selected by ``kind`` (ModelConfig.norm):
+
+    - 'batch'  — BatchNorm over (B, T, H, W), batch stats in train mode,
+      f32 stats; with ``axis_name`` set the statistics psum-sync over ICI
+      (SyncBN — SURVEY.md N2). Reference-faithful default.
+    - 'frozen' — BatchNorm that ALWAYS uses the running averages (learned
+      scale/bias still train). Removes the two batch-stats passes per layer
+      from the train step (+15% measured on v5e, CLAUDE.md); standard
+      frozen-BN fine-tuning semantics. Identical params/batch_stats tree to
+      'batch', so checkpoints interchange.
+    - 'group'  — GroupNorm (<=32 groups, channel-divisible), batch-size
+      independent, no running statistics; train == eval.
     """
 
+    kind: str = "batch"
     use_running_average: bool = True
     momentum: float = 0.9
     epsilon: float = 1e-5
@@ -212,14 +247,28 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kind == "group":
+            return nn.GroupNorm(
+                num_groups=_num_groups(x.shape[-1]),
+                epsilon=self.epsilon,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        if self.kind not in ("batch", "frozen"):
+            raise ValueError(f"unknown norm kind {self.kind!r}")
         return nn.BatchNorm(
-            use_running_average=self.use_running_average,
+            use_running_average=(True if self.kind == "frozen"
+                                 else self.use_running_average),
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name,
         )(x)
+
+
+# The pre-norm-variant name; kind='batch' is the original behavior.
+BatchNorm = Norm
 
 
 def max_pool_3d(x, window, strides=None, padding="VALID"):

@@ -41,13 +41,15 @@ class Conv2Plus1D(nn.Module):
     backend: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = SpatialConv(self.mid_features, 3, stride=self.spatial_stride,
                         backend=self.backend, dtype=self.dtype, name="spatial")(x)
-        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                      axis_name=self.bn_axis_name, name="bn_mid")(x)
+        x = BatchNorm(kind=self.norm, use_running_average=not train,
+                      dtype=self.dtype, axis_name=self.bn_axis_name,
+                      name="bn_mid")(x)
         x = nn.relu(x)
         x = TemporalConv(self.features, 3, stride=self.temporal_stride,
                          backend=self.backend, dtype=self.dtype, name="temporal")(x)
@@ -60,6 +62,7 @@ class BasicBlock(nn.Module):
     backend: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    norm: str = "batch"
     # paper-exact per-conv M by default; mxu_aligned_mid_channels for the
     # `*_tpu` variants (M rounded to the 128-wide MXU lane width)
     mid_channels_fn: object = r2plus1d_mid_channels
@@ -68,19 +71,21 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cin = x.shape[-1]
         bn = lambda name: BatchNorm(  # noqa: E731
-            use_running_average=not train, dtype=self.dtype,
+            kind=self.norm, use_running_average=not train, dtype=self.dtype,
             axis_name=self.bn_axis_name, name=name,
         )
         residual = x
         y = Conv2Plus1D(
             self.features, self.mid_channels_fn(cin, self.features),
             spatial_stride=self.stride, temporal_stride=self.stride,
-            backend=self.backend, dtype=self.dtype, name="conv1",
+            backend=self.backend, dtype=self.dtype, norm=self.norm,
+            name="conv1",
         )(x, train)
         y = nn.relu(bn("bn1")(y))
         y = Conv2Plus1D(
             self.features, self.mid_channels_fn(self.features, self.features),
-            backend=self.backend, dtype=self.dtype, name="conv2",
+            backend=self.backend, dtype=self.dtype, norm=self.norm,
+            name="conv2",
         )(y, train)
         y = bn("bn2")(y)
         if self.stride != 1 or cin != self.features:
@@ -98,13 +103,16 @@ class R2Plus1D(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    # 'batch' (reference-faithful) | 'frozen' (BN-lite, +15% train step) |
+    # 'group' (GroupNorm) — see models.layers.Norm
+    norm: str = "batch"
     mid_channels_fn: object = r2plus1d_mid_channels
     stem_mid: int = 45  # paper stem width; 128 in the `*_tpu` variants
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         bn = lambda name: BatchNorm(  # noqa: E731
-            use_running_average=not train, dtype=self.dtype,
+            kind=self.norm, use_running_average=not train, dtype=self.dtype,
             axis_name=self.bn_axis_name, name=name,
         )
         x = x.astype(self.dtype)
@@ -122,6 +130,7 @@ class R2Plus1D(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = BasicBlock(features, stride=stride, backend=self.backend,
                                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                               norm=self.norm,
                                mid_channels_fn=self.mid_channels_fn,
                                name=f"stage{stage + 1}_block{block}")(x, train)
 

@@ -19,18 +19,21 @@ class Tiny3D(nn.Module):
     width: int = 16
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: BatchNorm(  # noqa: E731
+            kind=self.norm, use_running_average=not train, dtype=self.dtype,
+            axis_name=self.bn_axis_name, name=name,
+        )
         x = x.astype(self.dtype)
         x = Conv3D(self.width, (3, 3, 3), strides=(1, 2, 2), dtype=self.dtype,
                    name="conv1")(x)
-        x = nn.relu(BatchNorm(use_running_average=not train, dtype=self.dtype,
-                              axis_name=self.bn_axis_name, name="bn1")(x))
+        x = nn.relu(bn("bn1")(x))
         x = Conv3D(self.width * 2, (3, 3, 3), strides=(2, 2, 2),
                    dtype=self.dtype, name="conv2")(x)
-        x = nn.relu(BatchNorm(use_running_average=not train, dtype=self.dtype,
-                              axis_name=self.bn_axis_name, name="bn2")(x))
+        x = nn.relu(bn("bn2")(x))
         x = global_avg_pool_3d(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32,
                         param_dtype=jnp.float32, name="fc")(x).astype(jnp.float32)

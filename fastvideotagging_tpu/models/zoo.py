@@ -55,6 +55,7 @@ def model_from_config(m_cfg, **overrides) -> nn.Module:
         backend=m_cfg.kernels,
         dropout=m_cfg.dropout,
         dtype=jnp.dtype(m_cfg.compute_dtype),
+        norm=m_cfg.norm,
     )
     kw.update(overrides)
     return get_model(m_cfg.name, **kw)
@@ -63,13 +64,56 @@ def model_from_config(m_cfg, **overrides) -> nn.Module:
 def load_pretrained(name: str, weights_path: str, num_classes: int = 101,
                     **kwargs) -> tuple[nn.Module, dict]:
     """Constructor-with-weights (the reference's ``pretrained=`` path, C9):
-    builds the module and loads a weights-only export
-    (train.checkpoint.export_weights). Returns (module, variables)."""
-    from fastvideotagging_tpu.train.checkpoint import load_weights
-
+    builds the module and loads weights. Accepts both this package's
+    weights-only exports (train.checkpoint.export_weights) and public torch
+    checkpoints (.pth/.pt — torchvision R(2+1)D state_dict layout, converted
+    by models.torch_import). Returns (module, variables)."""
     model = get_model(name, num_classes=num_classes, **kwargs)
-    variables = load_weights(weights_path)
+    if weights_path.endswith((".pth", ".pt")):
+        from fastvideotagging_tpu.models.torch_import import load_torch_variables
+
+        variables = load_torch_variables(name, weights_path)
+        _check_variable_shapes(model, variables, name)
+    else:
+        from fastvideotagging_tpu.train.checkpoint import load_weights
+
+        variables = load_weights(weights_path)
     return model, variables
+
+
+def _check_variable_shapes(model: nn.Module, variables: dict, name: str,
+                           clip_shape=(1, 16, 112, 112, 3)) -> None:
+    """Converted trees must match the module's own init structure exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(clip_shape, jnp.float32), train=False))
+    exp_flat = dict(jax.tree_util.tree_flatten_with_path(expected)[0])
+    got_flat = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    missing = sorted(set(map(str, exp_flat)) - set(map(str, got_flat)))
+    extra = sorted(set(map(str, got_flat)) - set(map(str, exp_flat)))
+    if missing or extra:
+        raise ValueError(
+            f"converted weights do not match {name}: missing={missing[:5]} "
+            f"extra={extra[:5]}")
+    for path, leaf in exp_flat.items():
+        got = got_flat[path]
+        if tuple(got.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"shape mismatch at {jax.tree_util.keystr(path)}: "
+                f"checkpoint {tuple(got.shape)} vs model {tuple(leaf.shape)}")
+
+
+def _require_batch_norm(kw: dict, name: str) -> None:
+    """Models without norm-variant support must not silently ignore the
+    config — requesting norm='frozen'/'group' on them is an error."""
+    norm = kw.pop("norm", "batch")
+    if norm != "batch":
+        raise ValueError(
+            f"{name} supports only norm='batch' (got {norm!r}); norm "
+            f"variants are implemented for the r2plus1d family and tiny3d")
 
 
 @register("tiny3d")
@@ -85,6 +129,7 @@ def _tiny3d(num_classes: int, **kw) -> nn.Module:
 @register("c3d")
 def _c3d(num_classes: int, dropout: float = 0.5, **kw) -> nn.Module:
     kw.pop("backend", None)  # C3D uses full 3D convs; no factorized kernels
+    _require_batch_norm(kw, "c3d")  # C3D has no norm layers at all (paper)
     return C3D(num_classes=num_classes, dropout=dropout, **kw)
 
 
@@ -125,16 +170,19 @@ def _r2plus1d_34_tpu(num_classes: int, **kw) -> nn.Module:
 
 @register("p3d_63")
 def _p3d_63(num_classes: int, **kw) -> nn.Module:
+    _require_batch_norm(kw, "p3d_63")
     return P3D(stage_blocks=(3, 4, 6, 3), num_classes=num_classes, **kw)
 
 
 @register("p3d_131")
 def _p3d_131(num_classes: int, **kw) -> nn.Module:
+    _require_batch_norm(kw, "p3d_131")
     return P3D(stage_blocks=(3, 4, 23, 3), num_classes=num_classes, **kw)
 
 
 @register("p3d_199")
 def _p3d_199(num_classes: int, **kw) -> nn.Module:
+    _require_batch_norm(kw, "p3d_199")
     return P3D(stage_blocks=(3, 8, 36, 3), num_classes=num_classes, **kw)
 
 
@@ -144,4 +192,5 @@ def _slowfast(num_classes: int, **kw) -> nn.Module:
     from fastvideotagging_tpu.models.slowfast import SlowFastR2Plus1D
 
     kw.pop("backend", None)  # uses full-3D convs for the sharded GEMMs
+    _require_batch_norm(kw, "slowfast_r2plus1d")
     return SlowFastR2Plus1D(num_classes=num_classes, **kw)

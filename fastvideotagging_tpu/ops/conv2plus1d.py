@@ -181,8 +181,12 @@ def spatial_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
             and _pick_tile(h, 16) >= k - 1):
         y = _spatial_op(x.reshape(b * t, h, w_dim, c), w)
         return y.reshape(b, t, h, w_dim, -1)
+    # Symmetric (k//2, k//2) padding to match models.layers semantics (for
+    # stride 1 this equals 'SAME'; for strided entries 'SAME' would shift).
+    p = k // 2
     return lax.conv_general_dilated(
-        x, w[None], window_strides=(1, stride, stride), padding="SAME",
+        x, w[None], window_strides=(1, stride, stride),
+        padding=((0, 0), (p, p), (p, p)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
 
@@ -273,7 +277,9 @@ def temporal_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     if stride == 1 and c >= MIN_C and t >= 2:
         y = _temporal_op(x.reshape(b, t, h * w_dim, c), w)
         return y.reshape(b, t, h, w_dim, -1)
+    p = k // 2
     return lax.conv_general_dilated(
-        x, w[:, None, None], window_strides=(stride, 1, 1), padding="SAME",
+        x, w[:, None, None], window_strides=(stride, 1, 1),
+        padding=((p, p), (0, 0), (0, 0)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )

@@ -34,8 +34,10 @@ from fastvideotagging_tpu.ops.fused_block import (
 
 
 def _conv(x, kernel, strides):
+    # Symmetric (k//2, k//2) padding — must match models.layers semantics.
+    pad = tuple((k // 2, k // 2) for k in kernel.shape[:3])
     return lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), window_strides=strides, padding="SAME",
+        x, kernel.astype(x.dtype), window_strides=strides, padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 

@@ -64,7 +64,8 @@ def make_train_step(
             loss = heads.softmax_cross_entropy(
                 logits, batch["labels"], batch["weights"]
             )
-        return loss, (logits, mutated["batch_stats"])
+        # norm='group' models have no batch_stats collection at all
+        return loss, (logits, mutated.get("batch_stats", batch_stats))
 
     def step(state: TrainState, batch: dict, dropout_rng: jax.Array):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(

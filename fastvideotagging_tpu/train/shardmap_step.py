@@ -57,7 +57,8 @@ def make_train_step_shardmap(model, cfg: ExperimentConfig, mesh: Mesh,
             else:
                 loss = heads.softmax_cross_entropy(
                     logits, batch["labels"], batch["weights"])
-            return loss, (logits, mutated["batch_stats"])
+            # norm='group' models have no batch_stats collection at all
+            return loss, (logits, mutated.get("batch_stats", batch_stats))
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats)

@@ -14,15 +14,21 @@ from jax import lax
 from fastvideotagging_tpu.ops import conv2plus1d as ops
 
 
+# References use symmetric (k//2, k//2) padding — the framework-wide conv
+# semantics (torch/MXNet-faithful; equals 'SAME' at stride 1 for odd k).
 def _lax_spatial(x, w, stride=1):
+    p = w.shape[0] // 2
     return lax.conv_general_dilated(
-        x, w[None], window_strides=(1, stride, stride), padding="SAME",
+        x, w[None], window_strides=(1, stride, stride),
+        padding=((0, 0), (p, p), (p, p)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 def _lax_temporal(x, w, stride=1):
+    p = w.shape[0] // 2
     return lax.conv_general_dilated(
-        x, w[:, None, None], window_strides=(stride, 1, 1), padding="SAME",
+        x, w[:, None, None], window_strides=(stride, 1, 1),
+        padding=((p, p), (0, 0), (0, 0)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 

@@ -33,7 +33,9 @@ class TestConv3DAgainstTorch:
         ((1, 7, 7), (1, 2, 2)),
         ((5, 1, 1), (4, 1, 1)),
     ])
-    def test_same_padding_conv(self, kernel, stride):
+    def test_symmetric_padding_conv(self, kernel, stride):
+        """Default padding is torch-exact: Conv3D == torch conv3d(pad=k//2),
+        including for strided convs (where XLA 'SAME' would shift by one)."""
         cin, cout = 6, 8
         x = np.random.default_rng(0).normal(size=(2, 8, 12, 12, cin)
                                             ).astype(np.float32)
@@ -44,18 +46,10 @@ class TestConv3DAgainstTorch:
         w = np.asarray(variables["params"]["kernel"])  # (kt,kh,kw,cin,cout)
         wt = torch.from_numpy(w).permute(4, 3, 0, 1, 2)  # (cout,cin,kt,kh,kw)
         xt = _to_torch_nchw(x)
-        # Reproduce XLA SAME padding (asymmetric: lo = (pad_total)//2).
-        pads = []
-        for i, (k, s) in enumerate(zip(kernel, stride)):
-            in_dim = x.shape[1 + i]
-            out_dim = -(-in_dim // s)
-            pad_total = max((out_dim - 1) * s + k - in_dim, 0)
-            pads.append((pad_total // 2, pad_total - pad_total // 2))
-        xt = torch.nn.functional.pad(
-            xt, (pads[2][0], pads[2][1], pads[1][0], pads[1][1],
-                 pads[0][0], pads[0][1]))
-        theirs = torch.nn.functional.conv3d(xt, wt, stride=stride)
+        theirs = torch.nn.functional.conv3d(
+            xt, wt, stride=stride, padding=tuple(k // 2 for k in kernel))
         theirs = theirs.permute(0, 2, 3, 4, 1).numpy()
+        assert ours.shape == theirs.shape
         np.testing.assert_allclose(ours, theirs, rtol=RTOL, atol=ATOL)
 
 
