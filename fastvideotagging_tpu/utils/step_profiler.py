@@ -1,0 +1,221 @@
+"""Fusion-level train-step profiler (SURVEY.md §6.1 tracing tier).
+
+``jax.profiler`` traces through the axon tunnel report correct per-fusion
+device events, but the fusion names (``convert_reduce_fusion.17``) are
+meaningless without the HLO. This tool joins the two: it captures a trace of
+the jitted train step, dumps the optimized HLO, maps every fusion instruction
+to its ``op_name`` metadata (model-layer path) and the convolutions inside
+it, estimates each fusion's FLOPs from the conv shapes, and prints a table
+of device time, achieved TF/s, and attribution.
+
+This is how the round-2 perf analysis was produced (see PERF.md): it showed
+the step is ~85-90% convolution-fusion kernels with BatchNorm reductions
+fused into their epilogues — overturning the round-1 guess that 40% of the
+step was standalone BN/elementwise passes.
+
+Usage:
+    python -m fastvideotagging_tpu.utils.step_profiler --model r2plus1d_18
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import re
+
+
+def _dims(s: str) -> list[int]:
+    m = re.search(r"\[([\d,]*)\]", s)
+    return [int(x) for x in m.group(1).split(",")] if m and m.group(1) else []
+
+
+def parse_hlo(txt: str):
+    """-> (fusion instr -> (called computation, op_name),
+          computation -> [(conv out shape, window, flops)])."""
+    comps: dict[str, list[str]] = {}
+    cur, buf = None, []
+    for ln in txt.splitlines():
+        if ln.endswith("{") and not ln.strip().startswith("ROOT"):
+            m = re.match(r"^\s*%?([\w\.\-]+)", ln)
+            cur, buf = m.group(1), []
+        elif cur and ln.strip() == "}":
+            comps[cur] = buf
+            cur = None
+        elif cur is not None:
+            buf.append(ln.strip())
+
+    comp_convs: dict[str, list] = {}
+    for cname, body in comps.items():
+        shapes: dict[str, str] = {}
+        convs = []
+        for ln in body:
+            m = re.match(r"^(?:ROOT )?%?([\w\.\-]+) = (\S+(?:\[[^\]]*\]\S*)?)",
+                         ln)
+            if m:
+                shapes[m.group(1)] = m.group(2)
+            mc = re.search(
+                r"%?[\w\.\-]+ = (\S+) convolution\(%?([\w\.\-]+), "
+                r"%?([\w\.\-]+)\).*?window=\{([^}]*)\}", ln)
+            if mc:
+                out = _dims(mc.group(1))
+                rhs = _dims(shapes.get(mc.group(3), ""))
+                po = pr = 1
+                for v in out:
+                    po *= v
+                for v in rhs:
+                    pr *= v
+                cout = out[-1] if out else 1
+                # rhs = (k..., cin, cout) -> contraction size = prod(rhs)/cout
+                fl = 2.0 * po * (pr / max(cout, 1)) if rhs else 0.0
+                convs.append((mc.group(1), mc.group(4), fl))
+        if convs:
+            comp_convs[cname] = convs
+
+    fus = {}
+    for m in re.finditer(
+            r"%([\w\.\-]+) = .*? fusion\([^\n]*?calls=%?([\w\.\-]+)"
+            r"[^\n]*?metadata=\{op_name=\"([^\"]+)\"", txt):
+        fus[m.group(1)] = (m.group(2), m.group(3))
+    return fus, comp_convs
+
+
+def load_trace_durations(trace_dir: str, n_steps: int):
+    """Aggregate 'XLA Ops'-track event durations (us per step) by name."""
+    files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    ev = json.load(gzip.open(sorted(files)[-1]))["traceEvents"]
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in ev
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tid_names = {(e["pid"], e["tid"]): e["args"].get("name", "") for e in ev
+                 if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    dur: dict[str, float] = collections.defaultdict(float)
+    for e in ev:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pid_names.get(e.get("pid"), "")
+                and tid_names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"):
+            dur[e["name"]] += e["dur"] / n_steps
+    return dur
+
+
+def attribute(dur, fus, comp_convs, top: int = 30):
+    """-> (rows sorted by time, category totals). Row: (us, TF/s, op, convs)."""
+    rows = []
+    cat = collections.defaultdict(float)
+    for name, d in dur.items():
+        if name.startswith("jit_"):
+            continue
+        calls, op = fus.get(name, (None, None))
+        convs = comp_convs.get(calls, []) if calls else []
+        fl = sum(c[2] for c in convs)
+        rows.append((d, fl / d / 1e6 if (d > 0 and fl) else 0.0,
+                     op or name, convs))
+        key = "other"
+        if op:
+            bwd = "transpose(" in op
+            if "conv_general_dilated" in op:
+                part = ("spatial" if "/spatial/" in op else
+                        "temporal" if "/temporal/" in op else
+                        "downsample" if "downsample" in op else "stem/other")
+                key = ("bwd_" if bwd else "fwd_") + "conv_" + part
+            elif "preprocess" in op:
+                key = "preprocess"
+            else:
+                key = ("bwd_" if bwd else "fwd_") + "elementwise/other"
+        cat[key] += d
+    rows.sort(key=lambda r: -r[0])
+    return rows[:top], dict(sorted(cat.items(), key=lambda kv: -kv[1]))
+
+
+def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
+                       clip_len: int = 16, crop: int = 112,
+                       source_hw=(128, 171), n_steps: int = 4,
+                       trace_dir: str = "/tmp/fvt_step_trace",
+                       norm: str = "batch"):
+    """Trace + attribute the jitted train step. Returns (rows, categories)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastvideotagging_tpu.config import (
+        ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig,
+        TrainConfig,
+    )
+    from fastvideotagging_tpu.models import get_model
+    from fastvideotagging_tpu.train import lr as lr_lib
+    from fastvideotagging_tpu.train.loop import (
+        make_sample_batch, make_train_step,
+    )
+    from fastvideotagging_tpu.train.state import create_train_state
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(name=model_name, num_classes=101, norm=norm),
+        data=DataConfig(source_hw=source_hw, resize_hw=source_hw,
+                        crop_hw=(crop, crop),
+                        sampler=ClipSamplerConfig(clip_len=clip_len)),
+        train=TrainConfig(batch_size=batch_size))
+    model = get_model(model_name, num_classes=101, norm=norm)
+    tx = lr_lib.make_optimizer(cfg.train, steps_per_epoch=100)
+    sample = jnp.zeros((1, clip_len, crop, crop, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    step = make_train_step(model, cfg, donate=False)
+    batch = jax.tree.map(
+        lambda x: jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, x.shape).astype(x.dtype)) if x.dtype == jnp.uint8 else x,
+        make_sample_batch(cfg))
+    rng = jax.random.PRNGKey(1)
+
+    hlo = jax.jit(step).lower(state, batch, rng).compile().as_text()
+    fus, comp_convs = parse_hlo(hlo)
+
+    def sync(s):
+        leaf = jax.tree.leaves(s.params)[0]
+        float(leaf[(0,) * leaf.ndim])
+
+    for _ in range(2):
+        s2, _ = step(state, batch, rng)
+        sync(s2)
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        s = state
+        for _ in range(n_steps):
+            s, _ = step(s, batch, rng)
+        sync(s)
+
+    dur = load_trace_durations(trace_dir, n_steps)
+    return attribute(dur, fus, comp_convs)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="r2plus1d_18")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--clip-len", type=int, default=16)
+    p.add_argument("--crop", type=int, default=112)
+    p.add_argument("--norm", default="batch")
+    p.add_argument("--top", type=int, default=30)
+    args = p.parse_args(argv)
+    rows, cat = profile_train_step(args.model, args.batch, args.clip_len,
+                                   args.crop, norm=args.norm)
+    total = sum(cat.values())
+    print(f"== categories ({total / 1e3:.1f} ms/step) ==")
+    for k, v in cat.items():
+        print(f"{v / 1e3:8.2f} ms  {100 * v / total:5.1f}%  {k}")
+    print("\n== hottest fusions ==")
+    for d, rate, op, convs in rows[:args.top]:
+        short = (op.replace("jit(step)/jit(step)/", "")
+                 .replace("transpose(jvp(", "BWD(")
+                 .replace("jvp(", "FWD("))
+        cstr = "; ".join(s.split("{")[0] + " " + w.split(" ")[0]
+                         for s, w, _ in convs)[:60]
+        print(f"{d:8.0f} us {rate:5.0f} TF/s  {short[:70]:70s} {cstr}")
+
+
+if __name__ == "__main__":
+    main()
