@@ -52,6 +52,10 @@ class DataConfig:
     random_flip: bool = True
     num_workers: int = 8
     prefetch_depth: int = 2  # double-buffered device prefetch (SURVEY.md N5)
+    # >0: cache decoded videos (at ship resolution) in host RAM up to this
+    # many MiB. Decode-once for small datasets/benchmarks; 0 (default) keeps
+    # the streaming decode path (UCF101/Kinetics do not fit in RAM).
+    cache_mb: int = 0
     sampler: ClipSamplerConfig = dataclasses.field(default_factory=ClipSamplerConfig)
 
 
@@ -87,7 +91,7 @@ class TrainConfig:
     grad_accum_steps: int = 1
     seed: int = 0
     log_every: int = 20
-    checkpoint_dir: str = "checkpoints"
+    checkpoint_dir: str = "checkpoints"  # "" disables checkpointing
     checkpoint_every_steps: int = 0  # 0 -> once per epoch
     resume: bool = False
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import dataclasses
+import threading
 from typing import Iterator
 
 import jax
@@ -87,6 +88,12 @@ class ClipDataset:
         self.num_tags = num_tags
         self.seed = seed
         self._nframes_cache: dict[str, int] = {}
+        # Optional decode-once frame cache (DataConfig.cache_mb).
+        self._frame_cache: dict[str, np.ndarray] = {}
+        self._cache_budget = int(getattr(data_cfg, "cache_mb", 0)) * 2 ** 20
+        self._cache_bytes = 0
+        self._cache_full_logged = False
+        self._cache_lock = threading.Lock()
         # Ship resolution: what the host sends to the device. If the config
         # pins a source size, decode ships raw frames and the device does the
         # resize (the spec-exact fast path); otherwise host pre-resizes to
@@ -104,6 +111,31 @@ class ClipDataset:
             self._nframes_cache[rec.path] = n
         return n
 
+    def _cached_video(self, rec: VideoRecord) -> np.ndarray | None:
+        """Whole decoded video at ship resolution, or None when caching is
+        off / over budget. Decode happens outside the lock (cv2 releases the
+        GIL); a rare duplicate decode on a race is benign."""
+        if self._cache_budget <= 0:
+            return None
+        with self._cache_lock:
+            hit = self._frame_cache.get(rec.path)
+        if hit is not None:
+            return hit
+        n = self._num_frames(rec)
+        frames = decode.read_frames_at(rec.path, np.arange(n))
+        frames = _ensure_size(frames, self.ship_hw)
+        with self._cache_lock:
+            if self._cache_bytes + frames.nbytes <= self._cache_budget:
+                self._frame_cache[rec.path] = frames
+                self._cache_bytes += frames.nbytes
+            elif not self._cache_full_logged:
+                self._cache_full_logged = True
+                log.warning(
+                    "frame cache budget (%d MiB) full after %d videos; "
+                    "remaining videos stream-decode every epoch",
+                    self._cache_budget >> 20, len(self._frame_cache))
+        return frames
+
     def get_train(self, index: int, epoch: int) -> ClipSample:
         """One training clip; deterministic in (seed, epoch, index)."""
         s = self.cfg.sampler
@@ -115,7 +147,11 @@ class ClipDataset:
             try:
                 n = self._num_frames(rec)
                 frame_idx = sampler.sample_train_indices(n, s.clip_len, s.stride, rng)
-                frames = decode.read_frames_at(rec.path, frame_idx)
+                video = self._cached_video(rec)
+                if video is not None:
+                    frames = video[np.minimum(frame_idx, len(video) - 1)]
+                else:
+                    frames = decode.read_frames_at(rec.path, frame_idx)
                 break
             except decode.DecodeError as e:
                 log.warning("skipping undecodable %s (%s)", rec.path, e)
@@ -139,7 +175,11 @@ class ClipDataset:
         idx = sampler.sample_eval_indices(
             n, s.clip_len, s.stride, mode=s.eval_mode, num_clips=s.num_eval_clips
         )  # (K, T)
-        flat = decode.read_frames_at(rec.path, idx.reshape(-1))
+        video = self._cached_video(rec)
+        if video is not None:
+            flat = video[np.minimum(idx.reshape(-1), len(video) - 1)]
+        else:
+            flat = decode.read_frames_at(rec.path, idx.reshape(-1))
         flat = _ensure_size(flat, self.ship_hw)
         k, t = idx.shape
         return flat.reshape((k, t) + flat.shape[1:]), rec

@@ -18,6 +18,27 @@ import orbax.checkpoint as ocp
 from fastvideotagging_tpu.train.state import TrainState
 
 
+class NullCheckpointManager:
+    """Checkpointing disabled (TrainConfig.checkpoint_dir == "").
+
+    Useful for throwaway/benchmark runs: a per-epoch full-state save costs a
+    ~260 MB device_get through the axon tunnel, which can dominate short
+    epochs.
+    """
+
+    def save(self, step, state, extra=None):
+        pass
+
+    def latest_step(self):
+        return None
+
+    def restore(self, target_state, step=None):
+        return None, None
+
+    def wait(self):
+        pass
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self._dir = os.path.abspath(directory)
@@ -30,9 +51,16 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: TrainState, extra: dict | None = None) -> None:
-        """extra: fixed schema {"epoch": int} (orbax restore needs a static tree)."""
+        """extra: fixed schema {"epoch": int} (orbax restore needs a static tree).
+
+        The device->host transfer happens HERE, not at call sites: through the
+        axon tunnel a full-state device_get costs seconds, and evaluating it
+        eagerly as a call argument would charge that cost even to disabled
+        (NullCheckpointManager) runs.
+        """
         epoch = int((extra or {}).get("epoch", 0))
-        payload = {"state": state, "epoch": np.asarray(epoch, np.int64)}
+        payload = {"state": jax.device_get(state),
+                   "epoch": np.asarray(epoch, np.int64)}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def latest_step(self) -> int | None:

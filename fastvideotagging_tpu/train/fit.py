@@ -94,7 +94,12 @@ def fit(
 
     state = shard_train_state(state, mesh, param_specs)
 
-    ckpt = CheckpointManager(t_cfg.checkpoint_dir)
+    if t_cfg.checkpoint_dir:
+        ckpt = CheckpointManager(t_cfg.checkpoint_dir)
+    else:
+        from fastvideotagging_tpu.train.checkpoint import NullCheckpointManager
+
+        ckpt = NullCheckpointManager()  # benchmark/throwaway runs
     start_epoch = 0
     if t_cfg.resume:
         restored, extra = ckpt.restore(state)
@@ -136,7 +141,7 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
         )
         for batch in batches:
             if stopper.stop_requested:
-                ckpt.save(global_step, jax.device_get(state),
+                ckpt.save(global_step, state,
                           {"epoch": epoch - 1})
                 log.warning("stopping at step %d on request; checkpoint saved "
                             "(resume with --resume)", global_step)
@@ -159,12 +164,12 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                 # Mid-epoch save records epoch-1 (like the graceful-stop path)
                 # so resume re-runs the interrupted epoch rather than silently
                 # skipping its remaining batches.
-                ckpt.save(global_step, jax.device_get(state),
+                ckpt.save(global_step, state,
                           {"epoch": epoch - 1})
 
         log.info("epoch %d done in %.1fs loss=%.4f top1=%.4f", epoch,
                  time.time() - epoch_start, loss_avg.value, top1_avg.value)
-        ckpt.save(global_step, jax.device_get(state), {"epoch": epoch})
+        ckpt.save(global_step, state, {"epoch": epoch})
         if eval_fn is not None:
             scalars = eval_fn(state, epoch)
             mlog.log(global_step, **{f"eval_{k}": v for k, v in scalars.items()})

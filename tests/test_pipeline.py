@@ -93,6 +93,30 @@ class TestTrainBatches:
         assert len(batches) == 2
         assert batches[1]["frames"].shape[0] == 2
 
+    def test_frame_cache_matches_streaming_decode(self, synthetic_dataset):
+        """cache_mb>0 must be a pure performance knob: identical samples."""
+        import dataclasses
+
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cached_cfg = dataclasses.replace(CFG, cache_mb=256)
+        ds_stream = ClipDataset(records, CFG, mode="train", seed=7)
+        ds_cached = ClipDataset(records, cached_cfg, mode="train", seed=7)
+        for i in range(4):
+            a = ds_stream.get_train(i, epoch=1)
+            b = ds_cached.get_train(i, epoch=1)  # fills cache
+            c = ds_cached.get_train(i, epoch=1)  # served from cache
+            np.testing.assert_array_equal(a.frames, b.frames)
+            np.testing.assert_array_equal(a.frames, c.frames)
+            assert (a.crop_top, a.crop_left, a.flip) == (
+                b.crop_top, b.crop_left, b.flip)
+        assert ds_cached._cache_bytes > 0
+        ev_s = ClipDataset(records, CFG, mode="eval")
+        ev_c = ClipDataset(records, cached_cfg, mode="eval")
+        ca, _ = ev_s.get_eval_clips(0)
+        cb, _ = ev_c.get_eval_clips(0)
+        np.testing.assert_array_equal(ca, cb)
+
     def test_drop_last_smaller_than_batch_yields_nothing(self, dataset):
         # 6 videos < batch 7: with drop_last no full batch exists; the
         # iterator must terminate immediately (and not decode the whole set).

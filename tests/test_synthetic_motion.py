@@ -1,0 +1,84 @@
+"""Hard motion benchmark: generator properties + recorded-result thresholds.
+
+The full benchmark (real r2plus1d_18, 50 classes, ~10 min on the TPU) runs
+via benchmarks/accuracy_hard.py and checks in its result JSON; here we pin
+(a) the generator's core property — class identity is INVISIBLE in any
+single frame — and (b) that the checked-in result stays above threshold.
+Set FVT_RUN_HARD_BENCH=1 to run a reduced live benchmark in-test.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fastvideotagging_tpu.data.synthetic_motion import (
+    MAX_CLASSES,
+    class_params,
+    make_motion_frames,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULT_PATH = os.path.join(REPO, "benchmarks", "ACCURACY_HARD.json")
+
+
+def test_class_params_enumerate_distinct():
+    seen = set()
+    for k in range(MAX_CLASSES):
+        p = class_params(k)
+        seen.add((round(p["angle"], 6), p["speed"], p["pattern"]))
+    assert len(seen) == MAX_CLASSES
+    with pytest.raises(ValueError):
+        class_params(MAX_CLASSES)
+
+
+def test_single_frame_is_class_blind():
+    """Frame 0 must be pixel-identical across classes for the same instance:
+    a per-frame classifier scores at chance BY CONSTRUCTION."""
+    base = make_motion_frames(0, instance=5, num_frames=2, seed=3)
+    for label in (1, 7, 16, 33, 49):
+        other = make_motion_frames(label, instance=5, num_frames=2, seed=3)
+        np.testing.assert_array_equal(base[0], other[0])
+
+
+def test_motion_differs_between_classes():
+    a = make_motion_frames(0, instance=5, num_frames=12, seed=3)
+    b = make_motion_frames(16, instance=5, num_frames=12, seed=3)  # 2.2x speed
+    assert not np.array_equal(a[6], b[6])
+
+
+def test_deterministic_and_instance_varied():
+    a = make_motion_frames(9, instance=2, num_frames=6, seed=1)
+    b = make_motion_frames(9, instance=2, num_frames=6, seed=1)
+    np.testing.assert_array_equal(a, b)
+    c = make_motion_frames(9, instance=3, num_frames=6, seed=1)
+    assert not np.array_equal(a[0], c[0])  # fresh background/start per video
+
+
+def test_recorded_benchmark_meets_threshold():
+    """The checked-in 50-class result: the real r2plus1d_18 must beat chance
+    by a wide margin on pure-motion classes (chance = 0.02)."""
+    assert os.path.exists(RESULT_PATH), (
+        "benchmarks/ACCURACY_HARD.json missing — run "
+        "python benchmarks/accuracy_hard.py --out benchmarks/ACCURACY_HARD.json")
+    with open(RESULT_PATH) as f:
+        r = json.load(f)
+    assert r["num_classes"] >= 50
+    assert r["model"] == "r2plus1d_18"
+    # Measured 0.97 top-1 / 0.991 mAP (60 epochs, seed 0, v5e); thresholds
+    # leave rerun margin but still demand near-solved motion classification.
+    assert r["top1"] >= 0.85, r
+    assert r["mAP"] >= 0.9, r
+
+
+@pytest.mark.skipif(not os.environ.get("FVT_RUN_HARD_BENCH"),
+                    reason="live hard benchmark is opt-in (slow)")
+def test_live_reduced_benchmark():
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import accuracy_hard
+
+    r = accuracy_hard.run(num_classes=8, epochs=40, batch_size=32)
+    assert r["top1"] >= 0.5, r
