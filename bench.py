@@ -205,6 +205,13 @@ def main():
         lambda: bench_train_step(batch_size, norm="frozen")[0],
         -1.0, "frozen-BN train step")
 
+    def _loader_row():
+        from fastvideotagging_tpu.cli.bench_loader import measure
+
+        return measure(videos=8, epochs=2)["decode_clips_per_sec"]
+
+    loader_clips = _safe(_loader_row, -1.0, "host loader")
+
     peak = _detect_peak_tflops()
     roofline_frac = achieved_tflops / peak if peak else 0.0
     # Target [B:2]: >=90% of roofline. vs_baseline 1.0 == at-target.
@@ -227,6 +234,7 @@ def main():
             "r2plus1d18_tpu_variant_tflops": round(tpu_tflops, 2),
             "kinetics_r2plus1d34_clips_per_sec": round(kinetics_clips, 2),
             "frozen_bn_clips_per_sec": round(frozen_clips, 2),
+            "host_decode_clips_per_sec": round(loader_clips, 2),
             "batch_size": batch_size,
             "device": jax.devices()[0].device_kind,
         },

@@ -23,6 +23,47 @@ from fastvideotagging_tpu.data.pipeline import ClipDataset, device_prefetch, tra
 from fastvideotagging_tpu.data.ucf101 import load_video_list
 
 
+def measure(videos=12, frames=64, size=(240, 320), clip_len=16, batch=8,
+            workers=8, epochs=3) -> dict:
+    """Decode->batch->device throughput on synthetic mp4s; returns scalars."""
+    with tempfile.TemporaryDirectory() as root:
+        t0 = time.perf_counter()
+        list_path = synthetic.make_dataset(
+            root, num_classes=videos, videos_per_class=1,
+            num_frames=frames, height=size[0], width=size[1],
+        )
+        gen_s = time.perf_counter() - t0
+        records = load_video_list(list_path, root=root)
+        cfg = DataConfig(
+            source_hw=tuple(size), resize_hw=(128, 171),
+            crop_hw=(112, 112),
+            sampler=ClipSamplerConfig(clip_len=clip_len),
+            num_workers=workers,
+        )
+        ds = ClipDataset(records, cfg, mode="train")
+        batch = min(batch, len(records))  # drop_last needs >=1 batch
+
+        # Warm epoch (probe caches, thread pool spin-up), then timed epochs.
+        for _ in train_batches(ds, batch, 0, num_workers=workers):
+            pass
+        t0 = time.perf_counter()
+        n_clips = 0
+        for epoch in range(1, epochs + 1):
+            for b in device_prefetch(
+                train_batches(ds, batch, epoch, num_workers=workers)
+            ):
+                n_clips += b["frames"].shape[0]
+        dt = time.perf_counter() - t0
+        clips_s = n_clips / dt
+        return {
+            "decode_clips_per_sec": round(clips_s, 2),
+            "decode_frames_per_sec": round(clips_s * clip_len, 1),
+            "source": f"{size[0]}x{size[1]} mp4",
+            "workers": workers,
+            "video_gen_s": round(gen_s, 1),
+        }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--videos", type=int, default=12)
@@ -33,47 +74,11 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--epochs", type=int, default=3)
     args = p.parse_args(argv)
-
-    with tempfile.TemporaryDirectory() as root:
-        t0 = time.perf_counter()
-        list_path = synthetic.make_dataset(
-            root, num_classes=args.videos, videos_per_class=1,
-            num_frames=args.frames, height=args.size[0], width=args.size[1],
-        )
-        gen_s = time.perf_counter() - t0
-        records = load_video_list(list_path, root=root)
-        cfg = DataConfig(
-            source_hw=tuple(args.size), resize_hw=(128, 171),
-            crop_hw=(112, 112),
-            sampler=ClipSamplerConfig(clip_len=args.clip_len),
-            num_workers=args.workers,
-        )
-        ds = ClipDataset(records, cfg, mode="train")
-        args.batch = min(args.batch, len(records))  # drop_last needs >=1 batch
-
-        # Warm epoch (probe caches, thread pool spin-up), then timed epochs.
-        for _ in train_batches(ds, args.batch, 0, num_workers=args.workers):
-            pass
-        t0 = time.perf_counter()
-        n_clips = 0
-        for epoch in range(1, args.epochs + 1):
-            for batch in device_prefetch(
-                train_batches(ds, args.batch, epoch, num_workers=args.workers)
-            ):
-                n_clips += batch["frames"].shape[0]
-        dt = time.perf_counter() - t0
-        clips_s = n_clips / dt
-        frames_s = clips_s * args.clip_len
-
-        print(json.dumps({
-            "decode_clips_per_sec": round(clips_s, 2),
-            "decode_frames_per_sec": round(frames_s, 1),
-            "source": f"{args.size[0]}x{args.size[1]} mp4",
-            "workers": args.workers,
-            "video_gen_s": round(gen_s, 1),
-            "note": ("train step consumes ~277 clips/s on one v5e chip; "
-                     "scale decode hosts accordingly"),
-        }))
+    out = measure(args.videos, args.frames, tuple(args.size), args.clip_len,
+                  args.batch, args.workers, args.epochs)
+    out["note"] = ("train step consumes ~275 clips/s on one v5e chip; "
+                   "scale decode hosts accordingly")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
