@@ -68,3 +68,26 @@ def load_serving(path_or_bytes) -> "jax_export.Exported":
     data = (path_or_bytes if isinstance(path_or_bytes, bytes)
             else open(path_or_bytes, "rb").read())
     return jax_export.deserialize(data)
+
+
+def export_serving_stablehlo(cfg: ExperimentConfig, variables: dict,
+                             clip_batch: int, path: str,
+                             platforms=None) -> bytes:
+    """Raw StableHLO bytecode of the serving fn — the native-runner format.
+
+    Unlike export_serving (a jax.export artifact, reloadable only by jax),
+    this writes the bare MLIR module bytecode that any PJRT plugin compiles
+    directly: the C++ runner (native/pjrt_runner.cc) consumes it with zero
+    Python in the serving process. ``platforms`` lowers cross-platform (e.g.
+    ("tpu",) from a CPU-backend process).
+    """
+    d = cfg.data
+    h, w = d.source_hw or d.resize_hw
+    spec = jax.ShapeDtypeStruct(
+        (clip_batch, d.sampler.clip_len, h, w, 3), jnp.uint8)
+    fn = jax.jit(make_serving_fn(cfg, variables))
+    exported = jax_export.export(fn, platforms=platforms)(spec)
+    data = exported.mlir_module_serialized
+    with open(path, "wb") as f:
+        f.write(data)
+    return data

@@ -1,0 +1,170 @@
+"""Build + drive the native C++ PJRT serving runner (pjrt_runner.cc).
+
+The runner is the no-Python deployment tier: it dlopens a PJRT plugin
+(the TPU tunnel plugin here; libtpu on a real pod), compiles the StableHLO
+module exported by evaluation/serving.py, and executes it on raw input
+files. This module builds the binary on demand (g++ against the PJRT C API
+header shipped in the environment's tensorflow include tree) and provides a
+subprocess wrapper used by tests to cross-check the native outputs against
+the in-process jax path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sysconfig
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "pjrt_runner.cc")
+_BIN = os.path.join(_HERE, "_pjrt_runner")
+
+_DTYPES = {"u8": np.uint8, "s32": np.int32, "f32": np.float32,
+           "pred": np.bool_}
+
+
+def _pjrt_header_dir() -> str:
+    """Locate an include root containing xla/pjrt/c/pjrt_c_api.h."""
+    site = sysconfig.get_paths()["purelib"]
+    candidates = [
+        os.path.join(site, "tensorflow", "include"),
+        os.path.join(site, "jaxlib", "include"),
+    ]
+    for c in candidates:
+        if os.path.exists(os.path.join(c, "xla", "pjrt", "c", "pjrt_c_api.h")):
+            return c
+    raise FileNotFoundError(
+        "xla/pjrt/c/pjrt_c_api.h not found under " + " or ".join(candidates))
+
+
+def build_runner(force: bool = False) -> str:
+    """Compile pjrt_runner.cc -> cached binary path."""
+    if (not force and os.path.exists(_BIN)
+            and os.path.getmtime(_BIN) >= os.path.getmtime(_SRC)):
+        return _BIN
+    include = _pjrt_header_dir()
+    cmd = ["g++", "-O2", "-std=c++17", f"-I{include}", "-o", _BIN, _SRC,
+           "-ldl"]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    return _BIN
+
+
+def default_plugin() -> str | None:
+    """Best local PJRT plugin .so (the axon TPU tunnel on this machine)."""
+    env = os.environ.get("PJRT_LIBRARY_PATH")
+    if env and os.path.exists(env):
+        return env
+    for cand in ("/opt/axon/libaxon_pjrt.so",):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def plugin_client_options(backend: str | None = None) -> dict:
+    """Recover the NamedValue options jax registered for a plugin backend.
+
+    Pool-scheduled TPU plugins refuse PJRT_Client_Create without their
+    options (scheduling/session metadata). jax's registration (e.g. the
+    machine's sitecustomize) already built the correct dict; dig it out of
+    the backend factory closure so the native runner creates its client the
+    same way. A fresh session_id is minted so the runner's session cannot
+    collide with any jax client in this or another process.
+    """
+    import functools
+    import uuid
+
+    from jax._src import xla_bridge
+
+    backend = backend or os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+    reg = xla_bridge._backend_factories.get(backend)
+    if reg is None:
+        return {}
+
+    def find(obj, depth=0):
+        if depth > 6:
+            return None
+        if isinstance(obj, dict) and obj and all(
+                isinstance(k, str) for k in obj):
+            if any(isinstance(v, (str, int)) for v in obj.values()):
+                return obj
+        if isinstance(obj, functools.partial):
+            for a in obj.args + tuple(obj.keywords.values()):
+                r = find(a, depth + 1)
+                if r is not None:
+                    return r
+        if callable(obj) and getattr(obj, "__closure__", None):
+            for cell in obj.__closure__:
+                r = find(cell.cell_contents, depth + 1)
+                if r is not None:
+                    return r
+        return None
+
+    opts = dict(find(getattr(reg, "factory", reg)) or {})
+    if "session_id" in opts:
+        opts["session_id"] = str(uuid.uuid4())
+    return opts
+
+
+def _dtype_tag(arr: np.ndarray) -> str:
+    for tag, dt in _DTYPES.items():
+        if arr.dtype == dt:
+            return tag
+    raise TypeError(f"unsupported input dtype {arr.dtype}")
+
+
+def make_compile_options(path: str) -> None:
+    """Serialized CompileOptionsProto (1 replica / 1 partition) via jax."""
+    from jax._src import compiler
+    from jax._src.lib import xla_client as xc
+
+    opts = compiler.get_compile_options(num_replicas=1, num_partitions=1)
+    assert isinstance(opts, xc.CompileOptions)
+    with open(path, "wb") as f:
+        f.write(opts.SerializeAsString())
+
+
+def run_serving(module_path: str, inputs: list[np.ndarray],
+                workdir: str, plugin: str | None = None,
+                client_options: dict | None = None,
+                timeout: int = 600) -> list[np.ndarray]:
+    """Execute an exported StableHLO module in the NATIVE runner process.
+
+    Returns the program outputs as numpy arrays (f32/u8/s32 supported).
+    """
+    plugin = plugin or default_plugin()
+    if plugin is None:
+        raise RuntimeError("no PJRT plugin .so found on this machine")
+    binary = build_runner()
+    os.makedirs(workdir, exist_ok=True)
+    cmd = [binary, "--plugin", plugin, "--module", module_path,
+           "--output", os.path.join(workdir, "out")]
+    if client_options is None:
+        client_options = plugin_client_options()
+    for k, v in client_options.items():
+        tag = "int" if isinstance(v, (bool, int)) else "str"
+        cmd += ["--client-option", f"{k}={tag}:{int(v) if tag == 'int' else v}"]
+    for i, arr in enumerate(inputs):
+        arr = np.ascontiguousarray(arr)
+        path = os.path.join(workdir, f"in{i}.bin")
+        arr.tofile(path)
+        dims = ",".join(str(d) for d in arr.shape)
+        cmd += ["--input", f"{_dtype_tag(arr)}:{dims}:{path}"]
+    opts_path = os.path.join(workdir, "compile_options.pb")
+    make_compile_options(opts_path)
+    cmd += ["--compile-options", opts_path]
+
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"pjrt_runner failed (rc={proc.returncode}):\n{proc.stderr}")
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    outs = []
+    for o in summary["outputs"]:
+        dt = _DTYPES.get(o["dtype"])
+        if dt is None:
+            raise TypeError(f"runner returned unsupported dtype {o['dtype']}")
+        outs.append(np.fromfile(o["file"], dtype=dt).reshape(o["shape"]))
+    return outs

@@ -1,0 +1,359 @@
+// Native (C++) serving runner over the PJRT C API — run an exported
+// StableHLO program on any PJRT plugin (the TPU plugin, libtpu, ...) with no
+// Python in the process.
+//
+// This is the production deployment tier beyond the Python package
+// (SURVEY.md L1 "core runtime"): evaluation/serving.py exports the full
+// inference program (fused uint8 preprocess + backbone + head) as portable
+// StableHLO; this binary dlopens a PJRT plugin, compiles that program, and
+// executes it on raw input files. The Python side
+// (fastvideotagging_tpu/native/__init__.py: build_pjrt_runner/run_serving)
+// builds it on demand with g++ against the PJRT C API header and uses it in
+// tests to cross-check outputs bit-for-bit against the in-process jax path.
+//
+// Usage:
+//   pjrt_runner --plugin libfoo_pjrt.so --module model.stablehlo.mlir \
+//       --input u8:8,16,128,171,3:clips.bin [--input ...] \
+//       --compile-options opts.pb --output out
+//
+// Writes one raw little-endian file per program output: out.0, out.1, ...
+// and prints a one-line JSON summary to stdout.
+
+#include <dlfcn.h>
+#include <stdarg.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+[[noreturn]] void Die(const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  vfprintf(stderr, fmt, ap);
+  fprintf(stderr, "\n");
+  va_end(ap);
+  exit(1);
+}
+
+const PJRT_Api* g_api = nullptr;
+
+void Check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  g_api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  g_api->PJRT_Error_Destroy(&dargs);
+  Die("%s failed: %s", what, msg.c_str());
+}
+
+void AwaitEvent(PJRT_Event* event, const char* what) {
+  PJRT_Event_Await_Args args;
+  memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  args.event = event;
+  Check(g_api->PJRT_Event_Await(&args), what);
+  PJRT_Event_Destroy_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.event = event;
+  g_api->PJRT_Event_Destroy(&dargs);
+}
+
+std::string ReadFile(const std::string& path) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) Die("cannot open %s", path.c_str());
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string out(n, '\0');
+  if (n && fread(&out[0], 1, n, f) != (size_t)n) Die("short read: %s",
+                                                     path.c_str());
+  fclose(f);
+  return out;
+}
+
+struct InputSpec {
+  PJRT_Buffer_Type type;
+  size_t elem_bytes;
+  std::vector<int64_t> dims;
+  std::string data;
+};
+
+PJRT_Buffer_Type ParseType(const std::string& s, size_t* elem_bytes) {
+  if (s == "u8") { *elem_bytes = 1; return PJRT_Buffer_Type_U8; }
+  if (s == "s32") { *elem_bytes = 4; return PJRT_Buffer_Type_S32; }
+  if (s == "f32") { *elem_bytes = 4; return PJRT_Buffer_Type_F32; }
+  if (s == "bf16") { *elem_bytes = 2; return PJRT_Buffer_Type_BF16; }
+  if (s == "pred") { *elem_bytes = 1; return PJRT_Buffer_Type_PRED; }
+  Die("unsupported input dtype %s (u8|s32|f32|bf16|pred)", s.c_str());
+}
+
+// "u8:8,16,128,171,3:clips.bin" -> InputSpec
+InputSpec ParseInput(const std::string& spec) {
+  size_t c1 = spec.find(':');
+  size_t c2 = spec.rfind(':');
+  if (c1 == std::string::npos || c2 == c1)
+    Die("bad --input %s (want dtype:d0,d1,...:file)", spec.c_str());
+  InputSpec in;
+  in.type = ParseType(spec.substr(0, c1), &in.elem_bytes);
+  std::string dims = spec.substr(c1 + 1, c2 - c1 - 1);
+  size_t pos = 0, n = 1;
+  while (pos < dims.size()) {
+    size_t comma = dims.find(',', pos);
+    if (comma == std::string::npos) comma = dims.size();
+    in.dims.push_back(atoll(dims.substr(pos, comma - pos).c_str()));
+    n *= in.dims.back();
+    pos = comma + 1;
+  }
+  in.data = ReadFile(spec.substr(c2 + 1));
+  if (in.data.size() != n * in.elem_bytes)
+    Die("input file size %zu != expected %zu for %s", in.data.size(),
+        n * in.elem_bytes, spec.c_str());
+  return in;
+}
+
+const char* TypeName(PJRT_Buffer_Type t) {
+  switch (t) {
+    case PJRT_Buffer_Type_U8: return "u8";
+    case PJRT_Buffer_Type_S32: return "s32";
+    case PJRT_Buffer_Type_F32: return "f32";
+    case PJRT_Buffer_Type_BF16: return "bf16";
+    case PJRT_Buffer_Type_PRED: return "pred";
+    default: return "other";
+  }
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string plugin, module_path, out_prefix = "out", options_path;
+  std::vector<std::string> input_specs;
+  // Plugin client-create options ("key=str:value" / "key=int:value") — some
+  // plugins (e.g. pool-scheduled TPU plugins) require NamedValue options.
+  std::vector<std::pair<std::string, std::string>> raw_opts;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (++i >= argc) Die("missing value for %s", a.c_str());
+      return argv[i];
+    };
+    if (a == "--plugin") plugin = next();
+    else if (a == "--module") module_path = next();
+    else if (a == "--input") input_specs.push_back(next());
+    else if (a == "--output") out_prefix = next();
+    else if (a == "--compile-options") options_path = next();
+    else if (a == "--client-option") {
+      std::string kv = next();
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos) Die("bad --client-option %s", kv.c_str());
+      raw_opts.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
+    } else if (a == "--help") {
+      printf("usage: pjrt_runner --plugin P.so --module M.mlir "
+             "[--input dtype:dims:file]... [--compile-options F] "
+             "[--client-option k=str:v|k=int:v]... [--output prefix]\n");
+      return 0;
+    } else Die("unknown arg %s", a.c_str());
+  }
+  if (plugin.empty() || module_path.empty())
+    Die("--plugin and --module are required (see --help)");
+
+  std::vector<PJRT_NamedValue> create_opts;
+  std::vector<std::string> opt_store;  // stable storage for strings
+  opt_store.reserve(raw_opts.size() * 2);
+  std::vector<int64_t> int_store;
+  int_store.reserve(raw_opts.size());
+  for (auto& kv : raw_opts) {
+    PJRT_NamedValue nv;
+    memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    opt_store.push_back(kv.first);
+    nv.name = opt_store.back().c_str();
+    nv.name_size = kv.first.size();
+    if (kv.second.rfind("int:", 0) == 0) {
+      nv.type = PJRT_NamedValue_kInt64;
+      int_store.push_back(atoll(kv.second.c_str() + 4));
+      nv.int64_value = int_store.back();
+      nv.value_size = 1;
+    } else if (kv.second.rfind("str:", 0) == 0) {
+      nv.type = PJRT_NamedValue_kString;
+      opt_store.push_back(kv.second.substr(4));
+      nv.string_value = opt_store.back().c_str();
+      nv.value_size = opt_store.back().size();
+    } else {
+      Die("--client-option value must be str:... or int:... (got %s)",
+          kv.second.c_str());
+    }
+    create_opts.push_back(nv);
+  }
+
+  void* handle = dlopen(plugin.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (!handle) Die("dlopen(%s): %s", plugin.c_str(), dlerror());
+  auto get_api = reinterpret_cast<const PJRT_Api* (*)()>(
+      dlsym(handle, "GetPjrtApi"));
+  if (!get_api) Die("GetPjrtApi not found in %s", plugin.c_str());
+  g_api = get_api();
+  if (!g_api) Die("GetPjrtApi returned null");
+
+  PJRT_Plugin_Initialize_Args init_args;
+  memset(&init_args, 0, sizeof(init_args));
+  init_args.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  Check(g_api->PJRT_Plugin_Initialize(&init_args), "PJRT_Plugin_Initialize");
+
+  PJRT_Client_Create_Args cargs;
+  memset(&cargs, 0, sizeof(cargs));
+  cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = create_opts.data();
+  cargs.num_options = create_opts.size();
+  Check(g_api->PJRT_Client_Create(&cargs), "PJRT_Client_Create");
+  PJRT_Client* client = cargs.client;
+
+  PJRT_Client_AddressableDevices_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  dargs.client = client;
+  Check(g_api->PJRT_Client_AddressableDevices(&dargs),
+        "PJRT_Client_AddressableDevices");
+  if (dargs.num_addressable_devices == 0) Die("no addressable devices");
+  PJRT_Device* device = dargs.addressable_devices[0];
+
+  // Compile the StableHLO module.
+  std::string module = ReadFile(module_path);
+  std::string options;  // empty -> plugin defaults (1 replica, 1 partition)
+  if (!options_path.empty()) options = ReadFile(options_path);
+  PJRT_Program program;
+  memset(&program, 0, sizeof(program));
+  program.struct_size = PJRT_Program_STRUCT_SIZE;
+  program.code = &module[0];
+  program.code_size = module.size();
+  static const char kMlir[] = "mlir";
+  program.format = kMlir;
+  program.format_size = sizeof(kMlir) - 1;
+
+  PJRT_Client_Compile_Args comp;
+  memset(&comp, 0, sizeof(comp));
+  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  comp.client = client;
+  comp.program = &program;
+  comp.compile_options = options.data();
+  comp.compile_options_size = options.size();
+  Check(g_api->PJRT_Client_Compile(&comp), "PJRT_Client_Compile");
+  PJRT_LoadedExecutable* exec = comp.executable;
+
+  // Stage inputs.
+  std::vector<PJRT_Buffer*> args_bufs;
+  for (const std::string& spec : input_specs) {
+    InputSpec in = ParseInput(spec);
+    PJRT_Client_BufferFromHostBuffer_Args b;
+    memset(&b, 0, sizeof(b));
+    b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    b.client = client;
+    b.data = in.data.data();
+    b.type = in.type;
+    b.dims = in.dims.data();
+    b.num_dims = in.dims.size();
+    b.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    b.device = device;
+    Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
+          "PJRT_Client_BufferFromHostBuffer");
+    AwaitEvent(b.done_with_host_buffer, "host buffer transfer");
+    args_bufs.push_back(b.buffer);
+  }
+
+  // Output count.
+  PJRT_LoadedExecutable_GetExecutable_Args ge;
+  memset(&ge, 0, sizeof(ge));
+  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  ge.loaded_executable = exec;
+  Check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge),
+        "PJRT_LoadedExecutable_GetExecutable");
+  PJRT_Executable_NumOutputs_Args no;
+  memset(&no, 0, sizeof(no));
+  no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  no.executable = ge.executable;
+  Check(g_api->PJRT_Executable_NumOutputs(&no), "PJRT_Executable_NumOutputs");
+  size_t num_outputs = no.num_outputs;
+
+  // Execute on one device.
+  std::vector<PJRT_Buffer*> outputs(num_outputs, nullptr);
+  PJRT_Buffer** output_list = outputs.data();
+  PJRT_Buffer* const* arg_list = args_bufs.data();
+  PJRT_Event* done = nullptr;
+  PJRT_ExecuteOptions opts;
+  memset(&opts, 0, sizeof(opts));
+  opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+  PJRT_LoadedExecutable_Execute_Args ex;
+  memset(&ex, 0, sizeof(ex));
+  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  ex.executable = exec;
+  ex.options = &opts;
+  ex.argument_lists = &arg_list;
+  ex.num_devices = 1;
+  ex.num_args = args_bufs.size();
+  ex.output_lists = &output_list;
+  ex.device_complete_events = &done;
+  Check(g_api->PJRT_LoadedExecutable_Execute(&ex),
+        "PJRT_LoadedExecutable_Execute");
+  AwaitEvent(done, "execution");
+
+  // Fetch outputs.
+  printf("{\"outputs\": [");
+  for (size_t i = 0; i < num_outputs; ++i) {
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = outputs[i];
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "size query");
+    std::string host(th.dst_size, '\0');
+    th.dst = &host[0];
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
+    AwaitEvent(th.event, "device->host copy");
+
+    PJRT_Buffer_Dimensions_Args bd;
+    memset(&bd, 0, sizeof(bd));
+    bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    bd.buffer = outputs[i];
+    Check(g_api->PJRT_Buffer_Dimensions(&bd), "PJRT_Buffer_Dimensions");
+    PJRT_Buffer_ElementType_Args et;
+    memset(&et, 0, sizeof(et));
+    et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+    et.buffer = outputs[i];
+    Check(g_api->PJRT_Buffer_ElementType(&et), "PJRT_Buffer_ElementType");
+
+    char path[4096];
+    snprintf(path, sizeof(path), "%s.%zu", out_prefix.c_str(), i);
+    FILE* f = fopen(path, "wb");
+    if (!f) Die("cannot write %s", path);
+    fwrite(host.data(), 1, host.size(), f);
+    fclose(f);
+
+    printf("%s{\"file\": \"%s\", \"dtype\": \"%s\", \"shape\": [",
+           i ? ", " : "", path, TypeName(et.type));
+    for (size_t d = 0; d < bd.num_dims; ++d)
+      printf("%s%lld", d ? ", " : "", (long long)bd.dims[d]);
+    printf("], \"bytes\": %zu}", host.size());
+  }
+  printf("]}\n");
+
+  // Teardown (best effort; process exit reclaims the rest).
+  PJRT_Client_Destroy_Args cd;
+  memset(&cd, 0, sizeof(cd));
+  cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+  cd.client = client;
+  g_api->PJRT_Client_Destroy(&cd);
+  return 0;
+}
