@@ -30,6 +30,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--multilabel", action="store_true", default=None)
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
+    p.add_argument("--norm", choices=["batch", "frozen", "group"],
+                   default=None,
+                   help="normalization: batch (faithful) | frozen (BN-lite) "
+                        "| group")
+    p.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
+                   default=None)
     # data
     p.add_argument("--data-root", default=None)
     p.add_argument("--train-list", default=None)
@@ -42,6 +48,8 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resize", type=int, nargs=2, metavar=("H", "W"), default=None)
     p.add_argument("--crop", type=int, nargs=2, metavar=("H", "W"), default=None)
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--cache-mb", type=int, default=None,
+                   help=">0 caches decoded videos in host RAM (small sets)")
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -82,13 +90,14 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
         root=g("data_root"), train_list=g("train_list"), val_list=g("val_list"),
         resize_hw=tuple(args.resize) if g("resize") else None,
         crop_hw=tuple(args.crop) if g("crop") else None,
-        num_workers=g("num_workers"),
+        num_workers=g("num_workers"), cache_mb=g("cache_mb"),
     )
     data = dataclasses.replace(data, sampler=sampler)
     model = _override(
         cfg.model,
         name=g("model"), num_classes=g("num_classes"), multilabel=g("multilabel"),
-        dropout=g("dropout"), kernels=g("kernels"),
+        dropout=g("dropout"), kernels=g("kernels"), norm=g("norm"),
+        compute_dtype=g("compute_dtype"),
     )
     train = _override(
         cfg.train,

@@ -22,6 +22,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="UCF101 classInd.txt (enables 1-based label parsing)")
     p.add_argument("--tag-lists", action="store_true",
                    help="parse lists as multi-label tag lists")
+    p.add_argument("--pretrained", default=None,
+                   help="initialize from pretrained weights: a weights "
+                        "export dir or a torch .pth checkpoint (the "
+                        "reference's pretrained= fine-tune path)")
     return p.parse_args(argv)
 
 
@@ -46,8 +50,15 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
     train_records, val_records, num_tags = load_records(cfg, args)
+    init_variables = None
+    if args.pretrained:
+        from fastvideotagging_tpu.models.zoo import load_pretrained
+
+        _, init_variables = load_pretrained(
+            cfg.model.name, args.pretrained,
+            num_classes=cfg.model.num_classes)
     fit(cfg, train_records, val_records=val_records, num_tags=num_tags,
-        metrics_path=args.metrics_jsonl)
+        metrics_path=args.metrics_jsonl, init_variables=init_variables)
 
 
 if __name__ == "__main__":

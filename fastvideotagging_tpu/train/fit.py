@@ -36,12 +36,17 @@ def fit(
     num_tags: int | None = None,
     metrics_path: str | None = None,
     eval_fn=None,
+    init_variables: dict | None = None,
 ) -> TrainState:
     """Train per config; returns the final TrainState.
 
     eval_fn: optional callable (state, epoch) -> dict of eval scalars, run
     after each epoch. If absent and ``val_records`` is given, the standard
     multi-clip evaluator is built automatically.
+    init_variables: optional pretrained {'params', 'batch_stats'} (the
+    reference's ``pretrained=`` fine-tune path, e.g. from
+    zoo.load_pretrained) used instead of random init; structure/shape
+    mismatches raise.
     """
     t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
     if eval_fn is None and val_records:
@@ -90,6 +95,8 @@ def fit(
             lambda: model.init(rng, jnp.asarray(sample_clips), train=False))
         param_specs = param_partition_specs(boxed)["params"]
     state = create_train_state(model, tx, rng, sample_clips)
+    if init_variables is not None:
+        state = _apply_pretrained(state, init_variables)
     from fastvideotagging_tpu.parallel.mesh import shard_train_state
 
     state = shard_train_state(state, mesh, param_specs)
@@ -124,6 +131,38 @@ def fit(
             global_step, start_epoch, eval_fn, stopper)
     ckpt.wait()
     mlog.close()
+    return state
+
+
+def _apply_pretrained(state: TrainState, variables: dict) -> TrainState:
+    """Replace params/batch_stats with a pretrained tree, structure-checked."""
+
+    def check_and_cast(init_tree, new_tree, what):
+        init_flat = dict(jax.tree_util.tree_flatten_with_path(init_tree)[0])
+        new_flat = dict(jax.tree_util.tree_flatten_with_path(new_tree)[0])
+        if set(init_flat) != set(new_flat):
+            missing = sorted(map(jax.tree_util.keystr,
+                                 set(init_flat) - set(new_flat)))[:4]
+            extra = sorted(map(jax.tree_util.keystr,
+                               set(new_flat) - set(init_flat)))[:4]
+            raise ValueError(
+                f"pretrained {what} tree mismatch: missing={missing} "
+                f"extra={extra}")
+        for path, leaf in init_flat.items():
+            got = new_flat[path]
+            if tuple(np.shape(got)) != tuple(leaf.shape):
+                raise ValueError(
+                    f"pretrained {what} shape mismatch at "
+                    f"{jax.tree_util.keystr(path)}: {np.shape(got)} vs "
+                    f"{tuple(leaf.shape)}")
+        return jax.tree.map(lambda init, new: jnp.asarray(new, init.dtype),
+                            init_tree, new_tree)
+
+    state = state.replace(
+        params=check_and_cast(state.params, variables["params"], "params"))
+    if variables.get("batch_stats"):
+        state = state.replace(batch_stats=check_and_cast(
+            state.batch_stats, variables["batch_stats"], "batch_stats"))
     return state
 
 

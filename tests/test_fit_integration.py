@@ -74,6 +74,42 @@ def test_fit_rejects_dataset_smaller_than_batch(synthetic_dataset, records,
         fit(cfg, records)
 
 
+def test_fit_from_pretrained_variables(synthetic_dataset, records, tmp_path):
+    """fit(init_variables=...) — the reference's pretrained= fine-tune path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastvideotagging_tpu.models import model_from_config
+
+    cfg = fit_cfg(tmp_path, epochs=1)
+    model = model_from_config(cfg.model)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(123), jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+        train=False)
+    variables = jax.tree.map(np.asarray, variables)
+
+    # num_epochs=0: returns the initialized state untouched -> must equal
+    # the provided pretrained tree exactly.
+    import dataclasses
+
+    cfg0 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_epochs=0))
+    state = fit(cfg0, records, init_variables=variables)
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and a real epoch trains FROM it without error
+    state = fit(cfg, records, init_variables=variables)
+    assert int(state.step) == 2
+
+    # structure mismatch raises
+    bad = {"params": {"nope": variables["params"]}, "batch_stats": {}}
+    with pytest.raises(ValueError, match="tree mismatch"):
+        fit(cfg0, records, init_variables=bad)
+
+
 def test_fit_resume_continues(synthetic_dataset, records, tmp_path):
     cfg = fit_cfg(tmp_path, epochs=1)
     state1 = fit(cfg, records)
