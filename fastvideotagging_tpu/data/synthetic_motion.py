@@ -93,6 +93,98 @@ def make_motion_frames(
     return frames
 
 
+def make_multi_motion_frames(
+    labels: list[int],
+    instance: int,
+    num_frames: int = 48,
+    height: int = 48,
+    width: int = 48,
+    seed: int = 0,
+    square: int = 7,
+) -> np.ndarray:
+    """Multi-object variant: one square per label, independent trajectories.
+
+    The multi-LABEL analog (tagging): a video carries the set of motion
+    classes present. Appearance stays label-blind — each object's start
+    position and brightness come from the (seed, instance)-keyed generator,
+    in a fixed draw order independent of the label values.
+    """
+    rng = np.random.Generator(
+        np.random.Philox(key=np.uint64(seed), counter=[0, 0, 1, instance]))
+    bg = rng.integers(20, 90, size=(height, width, 3), dtype=np.int64)
+    starts = [(float(rng.uniform(0, width)), float(rng.uniform(0, height)))
+              for _ in labels]
+    brightness = [int(rng.integers(170, 250)) for _ in labels]
+
+    params = [class_params(lb) for lb in labels]
+    yy, xx = np.mgrid[0:height, 0:width]
+    frames = np.empty((num_frames, height, width, 3), dtype=np.uint8)
+    half = square / 2.0
+    omega = 2.0 * np.pi / 12.0
+    for t in range(num_frames):
+        frame = bg.copy()
+        for (x0, y0), b, p in zip(starts, brightness, params):
+            vx = np.cos(p["angle"]) * p["speed"]
+            vy = np.sin(p["angle"]) * p["speed"]
+            nx, ny = -np.sin(p["angle"]), np.cos(p["angle"])
+            off = (3.0 if p["pattern"] == "sine" else 0.0) * np.sin(omega * t)
+            px = (x0 + vx * t + nx * off) % width
+            py = (y0 + vy * t + ny * off) % height
+            dx = np.minimum(np.abs(xx - px), width - np.abs(xx - px))
+            dy = np.minimum(np.abs(yy - py), height - np.abs(yy - py))
+            frame[(dx < half) & (dy < half)] = b
+        frames[t] = np.clip(frame, 0, 255).astype(np.uint8)
+    return frames
+
+
+def make_tagging_dataset(
+    root: str,
+    num_classes: int = 24,
+    objects_per_video: int = 2,
+    train_videos: int = 600,
+    eval_videos: int = 150,
+    num_frames: int = 48,
+    height: int = 48,
+    width: int = 48,
+    seed: int = 0,
+) -> tuple[str, str]:
+    """Multi-label tagging dataset: each video shows `objects_per_video`
+    distinct motion classes; the label set is its tags. List format matches
+    data/ucf101.load_tag_list (``path tag_a,tag_b``). Returns
+    (train_list, eval_list)."""
+    if num_classes > MAX_CLASSES:
+        raise ValueError(f"at most {MAX_CLASSES} classes")
+    os.makedirs(root, exist_ok=True)
+    pick = np.random.Generator(
+        np.random.Philox(key=np.uint64(seed), counter=[0, 0, 2, 0]))
+    lines = {"train": [], "eval": []}
+    os.makedirs(os.path.join(root, "tagged"), exist_ok=True)
+    for i in range(train_videos + eval_videos):
+        labels = sorted(pick.choice(num_classes, size=objects_per_video,
+                                    replace=False).tolist())
+        frames = make_multi_motion_frames(
+            labels, instance=i, num_frames=num_frames, height=height,
+            width=width, seed=seed)
+        rel = f"tagged/v_{i:04d}.mp4"
+        write_video(os.path.join(root, rel), frames)
+        tags = ",".join(f"motion_{k:02d}" for k in labels)
+        lines["train" if i < train_videos else "eval"].append(f"{rel} {tags}")
+    train_list = os.path.join(root, "tag_train_list.txt")
+    eval_list = os.path.join(root, "tag_eval_list.txt")
+    # Consumers should pass tag_index() to load_tag_list so the class->id
+    # mapping is fixed regardless of tag appearance order in the lists.
+    with open(train_list, "w") as f:
+        f.write("\n".join(lines["train"]) + "\n")
+    with open(eval_list, "w") as f:
+        f.write("\n".join(lines["eval"]) + "\n")
+    return train_list, eval_list
+
+
+def tag_index(num_classes: int = 24) -> dict[str, int]:
+    """Canonical tag-name -> id mapping for make_tagging_dataset lists."""
+    return {f"motion_{k:02d}": k for k in range(num_classes)}
+
+
 def make_motion_dataset(
     root: str,
     num_classes: int = 50,
