@@ -170,7 +170,13 @@ class SpatialConv(nn.Module):
 
 
 class TemporalConv(nn.Module):
-    """k x 1 x 1 conv — the temporal factor of a (2+1)D conv."""
+    """k x 1 x 1 conv — the temporal factor of a (2+1)D conv.
+
+    time_axis: when set (inside shard_map with the clip's T dim sharded over
+    that mesh axis), the conv runs as a halo-exchange conv over ICI
+    (parallel.temporal.halo_temporal_conv) — the long-clip sequence-parallel
+    path (SURVEY.md §6.7). Exactly equal to the unsharded conv.
+    """
 
     features: int
     kernel: int = 3
@@ -180,6 +186,7 @@ class TemporalConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.he_normal()
+    time_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -189,7 +196,17 @@ class TemporalConv(nn.Module):
             "kernel", self.kernel_init, (k, 1, 1, cin, self.features),
             self.param_dtype,
         )
-        if self.backend == "pallas":
+        if self.time_axis is not None:
+            from fastvideotagging_tpu.parallel.temporal import (
+                halo_temporal_conv,
+            )
+
+            y = halo_temporal_conv(
+                x.astype(self.dtype),
+                kernel[:, 0, 0].astype(self.dtype),
+                axis_name=self.time_axis, stride=self.stride,
+            )
+        elif self.backend == "pallas":
             from fastvideotagging_tpu.ops import conv2plus1d
 
             y = conv2plus1d.temporal_conv(

@@ -42,6 +42,7 @@ class Conv2Plus1D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     norm: str = "batch"
+    time_axis: str | None = None  # long-clip sequence parallelism (eval)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -52,7 +53,8 @@ class Conv2Plus1D(nn.Module):
                       name="bn_mid")(x)
         x = nn.relu(x)
         x = TemporalConv(self.features, 3, stride=self.temporal_stride,
-                         backend=self.backend, dtype=self.dtype, name="temporal")(x)
+                         backend=self.backend, dtype=self.dtype,
+                         time_axis=self.time_axis, name="temporal")(x)
         return x
 
 
@@ -63,6 +65,7 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     norm: str = "batch"
+    time_axis: str | None = None
     # paper-exact per-conv M by default; mxu_aligned_mid_channels for the
     # `*_tpu` variants (M rounded to the 128-wide MXU lane width)
     mid_channels_fn: object = r2plus1d_mid_channels
@@ -79,13 +82,13 @@ class BasicBlock(nn.Module):
             self.features, self.mid_channels_fn(cin, self.features),
             spatial_stride=self.stride, temporal_stride=self.stride,
             backend=self.backend, dtype=self.dtype, norm=self.norm,
-            name="conv1",
+            time_axis=self.time_axis, name="conv1",
         )(x, train)
         y = nn.relu(bn("bn1")(y))
         y = Conv2Plus1D(
             self.features, self.mid_channels_fn(self.features, self.features),
             backend=self.backend, dtype=self.dtype, norm=self.norm,
-            name="conv2",
+            time_axis=self.time_axis, name="conv2",
         )(y, train)
         y = bn("bn2")(y)
         if self.stride != 1 or cin != self.features:
@@ -106,11 +109,16 @@ class R2Plus1D(nn.Module):
     # 'batch' (reference-faithful) | 'frozen' (BN-lite, +15% train step) |
     # 'group' (GroupNorm) — see models.layers.Norm
     norm: str = "batch"
+    # When set, the model runs inside shard_map with the clip's T dim
+    # sharded over this mesh axis: temporal convs halo-exchange over ICI
+    # (evaluation/long_clip.py drives this; eval mode only).
+    time_axis: str | None = None
     mid_channels_fn: object = r2plus1d_mid_channels
     stem_mid: int = 45  # paper stem width; 128 in the `*_tpu` variants
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 features_only: bool = False) -> jax.Array:
         bn = lambda name: BatchNorm(  # noqa: E731
             kind=self.norm, use_running_average=not train, dtype=self.dtype,
             axis_name=self.bn_axis_name, name=name,
@@ -121,7 +129,7 @@ class R2Plus1D(nn.Module):
                         dtype=self.dtype, name="stem_spatial")(x)
         x = nn.relu(bn("stem_bn1")(x))
         x = TemporalConv(64, 3, backend=self.backend, dtype=self.dtype,
-                         name="stem_temporal")(x)
+                         time_axis=self.time_axis, name="stem_temporal")(x)
         x = nn.relu(bn("stem_bn2")(x))
 
         for stage, num_blocks in enumerate(self.stage_blocks):
@@ -130,10 +138,14 @@ class R2Plus1D(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = BasicBlock(features, stride=stride, backend=self.backend,
                                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                               norm=self.norm,
+                               norm=self.norm, time_axis=self.time_axis,
                                mid_channels_fn=self.mid_channels_fn,
                                name=f"stage{stage + 1}_block{block}")(x, train)
 
+        if features_only:
+            # pre-pool feature map (B, T', H', W', 512) — the long-clip
+            # sequence-parallel wrapper pools/classifies outside shard_map
+            return x
         x = global_avg_pool_3d(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)

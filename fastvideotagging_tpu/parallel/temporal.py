@@ -27,17 +27,28 @@ from jax import shard_map
 
 
 def halo_temporal_conv(x_local: jax.Array, w: jax.Array,
-                       axis_name: str) -> jax.Array:
-    """k x 1 x 1 SAME conv over a time-sharded clip, inside shard_map.
+                       axis_name: str, stride: int = 1) -> jax.Array:
+    """k x 1 x 1 symmetric-padded conv over a time-sharded clip, inside
+    shard_map.
 
     x_local: (B, T_local, H, W, C) — this shard's slice of the clip.
-    w: (k, C, Co), k odd. Returns (B, T_local, H, W, Co).
+    w: (k, C, Co), k odd. Returns (B, T_local // stride, H, W, Co).
+
+    Strided form (stage entries): requires T_local % stride == 0, so every
+    shard owns a whole number of output frames and the sampling phase is
+    globally aligned — the local VALID-with-stride conv over the halo'd slab
+    then reproduces the unsharded symmetric conv exactly (window m*stride ..
+    m*stride+k-1 in slab coordinates == the global window centered at
+    shard_start + m*stride).
     """
     k = w.shape[0]
     p = k // 2
+    if stride > 1 and x_local.shape[1] % stride != 0:
+        raise ValueError(
+            f"T_local={x_local.shape[1]} must divide stride={stride}")
     if p == 0:
         return lax.conv_general_dilated(
-            x_local, w[:, None, None], (1, 1, 1), "SAME",
+            x_local, w[:, None, None], (stride, 1, 1), "VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -47,7 +58,7 @@ def halo_temporal_conv(x_local: jax.Array, w: jax.Array,
 
     # Each shard sends its tail right and its head left (ring ppermute);
     # ring wraparound at the clip boundaries is masked to zero to reproduce
-    # SAME (zero) padding semantics exactly.
+    # the symmetric zero-padding semantics exactly.
     send_right = [(j, (j + 1) % n) for j in range(n)]
     send_left = [(j, (j - 1) % n) for j in range(n)]
     from_left = lax.ppermute(x_local[:, -p:], axis_name, perm=send_right)
@@ -57,7 +68,7 @@ def halo_temporal_conv(x_local: jax.Array, w: jax.Array,
 
     x_ext = jnp.concatenate([from_left, x_local, from_right], axis=1)
     return lax.conv_general_dilated(
-        x_ext, w[:, None, None], (1, 1, 1), "VALID",
+        x_ext, w[:, None, None], (stride, 1, 1), "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 

@@ -52,3 +52,74 @@ def test_too_many_shards_raises(time_mesh):
     w = jnp.ones((5, 32, 1))
     with pytest.raises(ValueError):
         temporal_conv_time_sharded(x, w, time_mesh, "time")
+
+
+def test_strided_halo_conv_matches_unsharded(time_mesh):
+    """Stage-entry form: temporal stride 2 with halo exchange."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fastvideotagging_tpu.parallel.temporal import halo_temporal_conv
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 4, 4, 16))
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 16, 8)) / 7.0
+    fn = shard_map(
+        functools.partial(halo_temporal_conv, axis_name="time", stride=2),
+        mesh=time_mesh, in_specs=(P(None, "time"), P()),
+        out_specs=P(None, "time"))
+    got = jax.jit(fn)(x, w)
+    ref = lax.conv_general_dilated(
+        x, w[:, None, None], (2, 1, 1), ((1, 1), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    assert got.shape == ref.shape == (2, 16, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_long_clip_whole_model_exact():
+    """Whole r2plus1d_18 forward with T sharded over 4 devices == unsharded.
+
+    The sequence-parallel long-clip path (evaluation/long_clip.py): temporal
+    convs halo-exchange at every depth (incl. strided stage entries), pooling
+    psums over the time axis, head applied once.
+    """
+    from fastvideotagging_tpu.evaluation.long_clip import (
+        make_time_mesh, score_long_clip,
+    )
+    from fastvideotagging_tpu.models import get_model
+
+    def factory(**kw):
+        return get_model("r2plus1d_18", num_classes=5, dtype=jnp.float32,
+                         dropout=0.0, **kw)
+
+    model = factory()
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 32, 3),
+                          jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x[:, :8], train=False)
+    ref_logits = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x)
+    from fastvideotagging_tpu.models import heads as _heads
+
+    ref = np.asarray(_heads.predict_scores(ref_logits, False))
+
+    mesh = make_time_mesh(4)
+    got = np.asarray(score_long_clip(factory, variables, x, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_long_clip_rejects_bad_shapes():
+    from fastvideotagging_tpu.evaluation.long_clip import (
+        make_time_mesh, score_long_clip,
+    )
+    from fastvideotagging_tpu.models import get_model
+
+    def factory(**kw):
+        return get_model("r2plus1d_18", num_classes=5, **kw)
+
+    mesh = make_time_mesh(4)
+    x = jnp.zeros((1, 20, 32, 32, 3))  # 20 % 4 == 0 but (20/4) % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        score_long_clip(factory, {}, x, mesh)
