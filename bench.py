@@ -20,13 +20,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Peak dense bf16 TFLOP/s per chip, by TPU generation (public spec sheets).
+# Peak dense bf16 TFLOP/s and HBM GB/s per chip, by TPU generation
+# (public spec sheets).
 PEAK_BF16_TFLOPS = {
     "v5 lite": 197.0,  # v5e
     "v5e": 197.0,
     "v4": 275.0,
     "v5p": 459.0,
     "v6e": 918.0,
+}
+HBM_GBPS = {
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v4": 1228.0,
+    "v5p": 2765.0,
+    "v6e": 1640.0,
 }
 
 
@@ -36,6 +44,14 @@ def _detect_peak_tflops() -> float:
         if key in kind:
             return val
     return 197.0  # assume v5e-class
+
+
+def _detect_hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in HBM_GBPS.items():
+        if key in kind:
+            return val
+    return 819.0
 
 
 def _sync(x):
@@ -97,11 +113,19 @@ def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),
     )
     rng = jax.random.PRNGKey(1)
 
-    # XLA-reported FLOPs for the whole step -> roofline denominator.
+    # XLA-reported FLOPs for the whole step -> peak-FLOPs denominator; the
+    # optimized HLO's conv inventory -> op-level conv roofline (per-conv
+    # max(FLOP-time, byte-time) — the temporal kx1x1 factors are HBM-bound,
+    # so peak FLOP/s alone is not an achievable bound for this program).
+    from fastvideotagging_tpu.utils.step_profiler import conv_roofline_seconds
+
     lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(state, batch, rng)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     flops = float((cost or {}).get("flops", 0.0))
+    roofline_sec, _conv_fl, _n = conv_roofline_seconds(
+        compiled.as_text(), _detect_peak_tflops() * 1e12,
+        _detect_hbm_gbps() * 1e9)
 
     def step_once(carry):
         s = state if carry is None else carry
@@ -111,7 +135,7 @@ def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),
     sec = _timeit_chain(step_once)
     clips_per_sec = batch_size / sec
     achieved_tflops = flops / sec / 1e12 if flops else 0.0
-    return clips_per_sec, achieved_tflops, flops, sec
+    return clips_per_sec, achieved_tflops, flops, sec, roofline_sec
 
 
 def bench_inference(batch_size=32, clip_len=16, crop=112,
@@ -185,7 +209,8 @@ def _safe(fn, default, label="secondary bench"):
 
 def main():
     batch_size = 32
-    clips_per_sec, achieved_tflops, flops, sec = bench_train_step(batch_size)
+    (clips_per_sec, achieved_tflops, flops, sec,
+     roofline_sec) = bench_train_step(batch_size)
     # MXU-aligned variant (same macro-architecture, 128-multiple channels).
     tpu_clips, tpu_tflops = _safe(
         lambda: bench_train_step(batch_size, model_name="r2plus1d_18_tpu")[:2],
@@ -213,8 +238,15 @@ def main():
     loader_clips = _safe(_loader_row, -1.0, "host loader")
 
     peak = _detect_peak_tflops()
-    roofline_frac = achieved_tflops / peak if peak else 0.0
-    # Target [B:2]: >=90% of roofline. vs_baseline 1.0 == at-target.
+    peak_frac = achieved_tflops / peak if peak else 0.0
+    # Target [B:2]: >=90% of the TPU conv3d ROOFLINE. The roofline of this
+    # program is the op-level one (per-conv max(FLOP-time, byte-time) summed
+    # over the step's conv inventory — see utils/step_profiler.
+    # conv_roofline_seconds and PERF.md): the temporal kx1x1 convs are
+    # HBM-bandwidth-bound, so peak FLOP/s is not an achievable bound for any
+    # schedule of this program. Both fractions are reported; vs_baseline
+    # tracks the roofline one, peak_fraction stays for continuity with r1.
+    roofline_frac = roofline_sec / sec if sec else 0.0
     vs_baseline = roofline_frac / 0.90
 
     result = {
@@ -226,7 +258,9 @@ def main():
             "step_time_s": round(sec, 5),
             "achieved_tflops": round(achieved_tflops, 2),
             "peak_bf16_tflops": peak,
+            "conv_roofline_step_s": round(roofline_sec, 5),
             "roofline_fraction": round(roofline_frac, 4),
+            "peak_flops_fraction": round(peak_frac, 4),
             "xla_flops_per_step": flops,
             "preprocess_frames_per_sec": round(frames_per_sec, 1),
             "inference_clips_per_sec": round(infer_clips, 2),

@@ -31,6 +31,21 @@ def _dims(s: str) -> list[int]:
     return [int(x) for x in m.group(1).split(",")] if m and m.group(1) else []
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s8": 1, "u8": 1, "pred": 1, "s16": 2, "u16": 2}
+
+
+def _nbytes(s: str) -> float:
+    """Byte size of an HLO type string like 'bf16[32,16,3136,128]{3,2,1,0}'."""
+    m = re.match(r"([a-z0-9]+)\[", s or "")
+    if not m:
+        return 0.0
+    n = float(_DTYPE_BYTES.get(m.group(1), 4))
+    for d in _dims(s):
+        n *= d
+    return n
+
+
 def parse_hlo(txt: str):
     """-> (fusion instr -> (called computation, op_name),
           computation -> [(conv out shape, window, flops)])."""
@@ -69,7 +84,10 @@ def parse_hlo(txt: str):
                 cout = out[-1] if out else 1
                 # rhs = (k..., cin, cout) -> contraction size = prod(rhs)/cout
                 fl = 2.0 * po * (pr / max(cout, 1)) if rhs else 0.0
-                convs.append((mc.group(1), mc.group(4), fl))
+                nbytes = (_nbytes(mc.group(1))
+                          + _nbytes(shapes.get(mc.group(2), ""))
+                          + _nbytes(shapes.get(mc.group(3), "")))
+                convs.append((mc.group(1), mc.group(4), fl, nbytes))
         if convs:
             comp_convs[cname] = convs
 
@@ -79,6 +97,35 @@ def parse_hlo(txt: str):
             r"[^\n]*?metadata=\{op_name=\"([^\"]+)\"", txt):
         fus[m.group(1)] = (m.group(2), m.group(3))
     return fus, comp_convs
+
+
+def conv_roofline_seconds(hlo_text: str, peak_flops: float,
+                          mem_bw: float) -> tuple[float, float, int]:
+    """Textbook op-level conv roofline of a compiled step.
+
+    For every `convolution` instruction in the optimized HLO (fwd, dx and dw
+    forms alike), the minimum achievable device time is
+    max(flops / peak_flops, operand+result bytes / mem_bw) — MXU-bound for
+    the spatial factors, HBM-bound for the temporal kx1x1 factors whose
+    arithmetic intensity sits below the machine balance point. The sum over
+    all convs is the fastest any schedule could run the step's convolutions
+    on this chip (measured evidence in benchmarks/fusion_ladder.py: XLA's
+    in-graph fusion already runs a conv pair FASTER than the sum of the
+    bare convs, so non-conv work rides along and the conv roofline is the
+    binding one).
+
+    Returns (roofline_seconds, total_conv_flops, n_convs).
+    """
+    _, comp_convs = parse_hlo(hlo_text)
+    sec = 0.0
+    fl_tot = 0.0
+    n = 0
+    for convs in comp_convs.values():
+        for _out, _win, fl, nbytes in convs:
+            sec += max(fl / peak_flops, nbytes / mem_bw)
+            fl_tot += fl
+            n += 1
+    return sec, fl_tot, n
 
 
 def load_trace_durations(trace_dir: str, n_steps: int):
@@ -213,7 +260,7 @@ def main(argv=None):
                  .replace("transpose(jvp(", "BWD(")
                  .replace("jvp(", "FWD("))
         cstr = "; ".join(s.split("{")[0] + " " + w.split(" ")[0]
-                         for s, w, _ in convs)[:60]
+                         for s, w, *_ in convs)[:60]
         print(f"{d:8.0f} us {rate:5.0f} TF/s  {short[:70]:70s} {cstr}")
 
 
