@@ -147,8 +147,13 @@ def load_trace_durations(trace_dir: str, n_steps: int):
     return dur
 
 
-def attribute(dur, fus, comp_convs, top: int = 30):
-    """-> (rows sorted by time, category totals). Row: (us, TF/s, op, convs)."""
+def attribute(dur, fus, comp_convs, top: int = 30,
+              peak_flops: float = 197e12, mem_bw: float = 819e9):
+    """-> (rows sorted by time, category totals).
+
+    Row: (us, TF/s, roofline_us, op, convs) — roofline_us is the summed
+    per-conv max(FLOP-time, byte-time) floor of the convs inside the fusion
+    (0 for conv-free fusions); us - roofline_us is the fusion's slack."""
     rows = []
     cat = collections.defaultdict(float)
     for name, d in dur.items():
@@ -157,8 +162,10 @@ def attribute(dur, fus, comp_convs, top: int = 30):
         calls, op = fus.get(name, (None, None))
         convs = comp_convs.get(calls, []) if calls else []
         fl = sum(c[2] for c in convs)
+        roof_us = sum(max(c[2] / peak_flops, c[3] / mem_bw)
+                      for c in convs) * 1e6
         rows.append((d, fl / d / 1e6 if (d > 0 and fl) else 0.0,
-                     op or name, convs))
+                     roof_us, op or name, convs))
         key = "other"
         if op:
             bwd = "transpose(" in op
@@ -254,14 +261,19 @@ def main(argv=None):
     print(f"== categories ({total / 1e3:.1f} ms/step) ==")
     for k, v in cat.items():
         print(f"{v / 1e3:8.2f} ms  {100 * v / total:5.1f}%  {k}")
-    print("\n== hottest fusions ==")
-    for d, rate, op, convs in rows[:args.top]:
+    roof = sum(r[2] for r in rows)
+    slack = sorted(rows, key=lambda r: -(r[0] - r[2]))
+    print(f"\nconv roofline of traced fusions: {roof / 1e3:.1f} ms "
+          f"(slack {max(total - roof, 0.0) / 1e3:.1f} ms)")
+    print("\n== largest slack (measured - conv roofline) ==")
+    for d, rate, roof_us, op, convs in slack[:args.top]:
         short = (op.replace("jit(step)/jit(step)/", "")
                  .replace("transpose(jvp(", "BWD(")
                  .replace("jvp(", "FWD("))
         cstr = "; ".join(s.split("{")[0] + " " + w.split(" ")[0]
                          for s, w, *_ in convs)[:60]
-        print(f"{d:8.0f} us {rate:5.0f} TF/s  {short[:70]:70s} {cstr}")
+        print(f"{d:8.0f} us (floor {roof_us:6.0f})  {rate:5.0f} TF/s  "
+              f"{short[:58]:58s} {cstr}")
 
 
 if __name__ == "__main__":
