@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         base_lr: float = 0.05, seed: int = 0, root: str | None = None,
-        keep_data: bool = False) -> dict:
+        keep_data: bool = False, model_name: str = "r2plus1d_18") -> dict:
     import numpy as np
 
     from fastvideotagging_tpu.config import (
@@ -55,7 +55,7 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
 
     cfg = ExperimentConfig(
         # The REAL flagship backbone, reduced input resolution (8x32x32).
-        model=ModelConfig(name="r2plus1d_18", num_classes=num_classes,
+        model=ModelConfig(name=model_name, num_classes=num_classes,
                           dropout=0.0),
         data=DataConfig(source_hw=(48, 48), resize_hw=(40, 40),
                         crop_hw=(32, 32), random_flip=False,
@@ -85,7 +85,7 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
     onehot = np.eye(num_classes, dtype=np.float32)[labels]
     result = {
         "benchmark": "hard_synthetic_motion_50",
-        "model": "r2plus1d_18",
+        "model": model_name,
         "num_classes": num_classes,
         "train_videos": len(train_records),
         "eval_videos": len(eval_records),
@@ -211,6 +211,8 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--multilabel", action="store_true",
                    help="run the multi-object tagging variant")
+    p.add_argument("--model", default="r2plus1d_18",
+                   help="zoo name (e.g. r2plus1d_18_tpu) for the single-label run")
     args = p.parse_args(argv)
     if args.multilabel:
         result = run_multilabel(
@@ -218,7 +220,8 @@ def main(argv=None):
             args.lr or 0.08, args.seed, args.root)
     else:
         result = run(args.classes or 50, args.epochs or 40, args.batch,
-                     args.lr or 0.05, args.seed, args.root)
+                     args.lr or 0.05, args.seed, args.root,
+                     model_name=args.model)
     line = json.dumps(result, indent=2)
     print(line)
     if args.out:

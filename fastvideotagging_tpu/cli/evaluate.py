@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--class-index", default=None)
     p.add_argument("--clip-batch", type=int, default=8)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--int8", action="store_true",
+                   help="serve through the int8 PTQ engine "
+                        "(ops/int8_infer; r2plus1d family), calibrated on "
+                        "the first --int8-calib-videos eval videos")
+    p.add_argument("--int8-calib-videos", type=int, default=8)
     args = p.parse_args(argv)
     cfg = build_config(args)
 
@@ -51,8 +56,25 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    apply_fn = None
+    if args.int8:
+        from fastvideotagging_tpu.evaluation.quantized import make_int8_apply
+        from fastvideotagging_tpu.ops.preprocess_kernel import (
+            preprocess_eval_clip,
+        )
+
+        calib = []
+        for i in range(min(args.int8_calib_videos, len(dataset))):
+            clips_u8, _ = dataset.get_eval_clips(i)
+            calib.append(preprocess_eval_clip(
+                clips_u8, cfg.data.resize_hw, cfg.data.crop_hw,
+                cfg.data.mean, cfg.data.std,
+                out_dtype_name=cfg.model.compute_dtype))
+        variables, apply_fn = make_int8_apply(
+            cfg.model.name, variables, calib,
+            multilabel=cfg.model.multilabel)
     out = evaluate(model, variables, dataset, cfg, clip_batch=args.clip_batch,
-                   threshold=args.threshold)
+                   threshold=args.threshold, apply_fn=apply_fn)
     print(json.dumps(out))
 
 

@@ -55,11 +55,17 @@ def _forward_scores(apply, variables, clips, clip_batch=8):
 
 def evaluate_video_scores(
     model, variables, dataset: ClipDataset, cfg: ExperimentConfig,
-    clip_batch: int = 8,
+    clip_batch: int = 8, apply_fn=None,
 ) -> tuple[np.ndarray, list]:
-    """Per-video aggregated scores. Returns (scores (N,C) f32, records)."""
+    """Per-video aggregated scores. Returns (scores (N,C) f32, records).
+
+    ``apply_fn(variables, clips) -> scores`` overrides the default jitted
+    ``model.apply`` — the hook for alternate serving engines (e.g. the int8
+    PTQ engine, ops/int8_infer: pass the qpack as ``variables``). The
+    aggregation spec downstream is identical, so engine comparisons are
+    bitwise-fair."""
     d = cfg.data
-    apply = _make_apply(model, cfg.model.multilabel)
+    apply = apply_fn or _make_apply(model, cfg.model.multilabel)
     all_scores = []
     for i in range(len(dataset)):
         clips_u8, _rec = dataset.get_eval_clips(i)
@@ -76,11 +82,11 @@ def evaluate_video_scores(
 
 def evaluate(
     model, variables, dataset: ClipDataset, cfg: ExperimentConfig,
-    clip_batch: int = 8, threshold: float = 0.5,
+    clip_batch: int = 8, threshold: float = 0.5, apply_fn=None,
 ) -> dict:
     """Full eval pass -> scalar metrics dict."""
     scores, records = evaluate_video_scores(model, variables, dataset, cfg,
-                                            clip_batch)
+                                            clip_batch, apply_fn=apply_fn)
     out: dict = {"num_videos": len(records)}
     if cfg.model.multilabel:
         multihot = np.stack([r.multihot(cfg.model.num_classes) for r in records])

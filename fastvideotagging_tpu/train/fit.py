@@ -206,6 +206,13 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                 ckpt.save(global_step, state,
                           {"epoch": epoch - 1})
 
+        if loss_avg.weight == 0 and global_step > 0:
+            # short epochs can finish between log_every sync points; pull
+            # the last step's metrics once so the summary is never nan
+            last = jax.device_get(metrics)
+            loss_avg.update(last["loss"], t_cfg.batch_size)
+            if "top1" in last:
+                top1_avg.update(last["top1"], t_cfg.batch_size)
         log.info("epoch %d done in %.1fs loss=%.4f top1=%.4f", epoch,
                  time.time() - epoch_start, loss_avg.value, top1_avg.value)
         ckpt.save(global_step, state, {"epoch": epoch})

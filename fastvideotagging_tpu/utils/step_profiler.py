@@ -244,6 +244,47 @@ def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
     return attribute(dur, fus, comp_convs)
 
 
+def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
+                      clip_len: int = 16, crop: int = 112, n_steps: int = 4,
+                      trace_dir: str = "/tmp/fvt_eval_trace"):
+    """Trace + attribute the jitted eval-mode forward (the serving loop)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastvideotagging_tpu.models import get_model
+
+    model = get_model(model_name, num_classes=101)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, clip_len, crop, crop, 3)), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0[:1], train=False)
+
+    @jax.jit
+    def step(xi):
+        y = model.apply(variables, xi, train=False)
+        # evolving input: content-identical dispatches are deduped
+        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
+
+    hlo = step.lower(x0).compile().as_text()
+    fus, comp_convs = parse_hlo(hlo)
+
+    def sync(x):
+        float(jnp.asarray(x.reshape(-1)[0], jnp.float32))
+
+    c = step(x0)
+    sync(c)
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(n_steps):
+            c = step(c)
+        sync(c)
+    dur = load_trace_durations(trace_dir, n_steps)
+    return attribute(dur, fus, comp_convs)
+
+
 def main(argv=None):
     import argparse
 
@@ -254,9 +295,16 @@ def main(argv=None):
     p.add_argument("--crop", type=int, default=112)
     p.add_argument("--norm", default="batch")
     p.add_argument("--top", type=int, default=30)
+    p.add_argument("--eval", action="store_true",
+                   help="profile the eval-mode forward instead of the "
+                        "train step")
     args = p.parse_args(argv)
-    rows, cat = profile_train_step(args.model, args.batch, args.clip_len,
-                                   args.crop, norm=args.norm)
+    if args.eval:
+        rows, cat = profile_eval_step(args.model, args.batch, args.clip_len,
+                                      args.crop)
+    else:
+        rows, cat = profile_train_step(args.model, args.batch, args.clip_len,
+                                       args.crop, norm=args.norm)
     total = sum(cat.values())
     print(f"== categories ({total / 1e3:.1f} ms/step) ==")
     for k, v in cat.items():

@@ -1,0 +1,152 @@
+"""int8 PTQ serving engine (ops/int8_infer): walk parity, calibration
+site coverage, quantized-logits fidelity, determinism.
+
+The accuracy gate on a TRAINED model runs on the TPU via
+benchmarks/int8_serving.py; the recorded JSON is threshold-checked here
+when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvideotagging_tpu.models import get_model
+from fastvideotagging_tpu.ops.int8_infer import (
+    calibrate,
+    quantize_variables,
+    r2plus1d_int8_infer,
+    reference_bf16_infer,
+)
+
+STAGE_BLOCKS = (2, 2, 2, 2)
+SHAPE = (2, 8, 32, 32, 3)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = get_model("r2plus1d_18", num_classes=12)
+    x = jnp.zeros(SHAPE, jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    # non-trivial running stats so the BN fold is actually exercised
+    stats = jax.tree.map(lambda a: a, variables["batch_stats"])
+
+    def perturb(path, leaf):
+        name = jax.tree_util.keystr(path)
+        rng = np.random.default_rng(abs(hash(name)) % 2**32)
+        if "mean" in name:
+            return jnp.asarray(rng.normal(0, 0.05, leaf.shape), leaf.dtype)
+        return jnp.asarray(1.0 + rng.uniform(-0.2, 0.2, leaf.shape),
+                           leaf.dtype)
+
+    stats = jax.tree_util.tree_map_with_path(perturb, stats)
+    return model, {"params": variables["params"], "batch_stats": stats}
+
+
+@pytest.fixture(scope="module")
+def clips():
+    rng = np.random.default_rng(1)
+    return jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+
+
+def test_reference_walk_matches_model_apply(model_and_vars, clips):
+    model, variables = model_and_vars
+    want = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, clips)
+    got = jax.jit(
+        lambda v, x: reference_bf16_infer(v, x, STAGE_BLOCKS))(
+            variables, clips)
+    # bf16 accumulation-order noise on logits of magnitude ~8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1.5e-1)
+
+
+def test_calibration_covers_every_conv_input_site(model_and_vars, clips):
+    _, variables = model_and_vars
+    scales = calibrate(variables, [clips], STAGE_BLOCKS)
+    want = {"input", "stem_mid"}
+    for stage, n in enumerate(STAGE_BLOCKS):
+        for b in range(n):
+            key = f"stage{stage + 1}_block{b}"
+            want |= {f"{key}.in", f"{key}.conv1.mid", f"{key}.conv2.in",
+                     f"{key}.conv2.mid"}
+    assert set(scales) == want
+    # per-channel scale vectors, one entry per site channel, all positive
+    for v in scales.values():
+        assert v.ndim == 1 and (v > 0).all()
+
+
+def test_int8_site_errors_bounded(model_and_vars, clips):
+    """Per-site reconstruction error vs the bf16 walk stays at the int8
+    rounding floor (a few %) — wiring bugs measure 50%+ here. (Random-init
+    LOGITS are near-degenerate and amplify honest rounding noise, so the
+    accuracy evidence lives in the trained-model gate below instead.)"""
+    from fastvideotagging_tpu.ops.int8_infer import _walk
+
+    _, variables = model_and_vars
+    scales = calibrate(variables, [clips], STAGE_BLOCKS)
+    qpack = quantize_variables(variables, scales, STAGE_BLOCKS)
+
+    def run_ref(v, x):
+        out = {}
+
+        def record(name, t):
+            out[name] = t.astype(jnp.float32)
+            return t
+
+        logits = _walk(v, x, STAGE_BLOCKS, record)
+        return logits, out
+
+    _, ref_sites = jax.jit(run_ref)(variables, clips)
+    logits, q_sites = r2plus1d_int8_infer(
+        qpack, clips, STAGE_BLOCKS, float_blocks=(), debug_sites=True)
+    assert np.isfinite(np.asarray(logits)).all()
+    errs = {}
+    for name, r in ref_sites.items():
+        r = np.asarray(r)
+        q = np.asarray(q_sites[name])
+        errs[name] = np.abs(q - r).mean() / (np.abs(r).mean() + 1e-9)
+    worst = max(errs, key=errs.get)
+    assert errs[worst] < 0.15, (worst, errs[worst])
+    assert np.median(list(errs.values())) < 0.06, errs
+
+
+def test_int8_engine_deterministic(model_and_vars, clips):
+    _, variables = model_and_vars
+    scales = calibrate(variables, [clips], STAGE_BLOCKS)
+    qpack = quantize_variables(variables, scales, STAGE_BLOCKS)
+    a = np.asarray(r2plus1d_int8_infer(qpack, clips, STAGE_BLOCKS))
+    b = np.asarray(r2plus1d_int8_infer(qpack, clips, STAGE_BLOCKS))
+    assert (a == b).all()
+
+
+def test_make_int8_apply_eval_glue(model_and_vars, clips):
+    from fastvideotagging_tpu.evaluation.quantized import make_int8_apply
+
+    _, variables = model_and_vars
+    qpack, apply_fn = make_int8_apply("r2plus1d_18", variables, [clips])
+    scores = np.asarray(apply_fn(qpack, clips))
+    assert scores.shape == (clips.shape[0], 12)
+    assert np.isfinite(scores).all()
+    # softmax scores: rows sum to 1
+    np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-3)
+    with pytest.raises(KeyError):
+        make_int8_apply("c3d", variables, [clips])
+
+
+def test_recorded_accuracy_gate():
+    """benchmarks/INT8_SERVING.json (produced on the TPU) must show the
+    int8 engine within 2 points of bf16 top-1 on the hard benchmark."""
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                        "INT8_SERVING.json")
+    if not os.path.exists(path):
+        pytest.skip("INT8_SERVING.json not recorded yet")
+    rec = json.load(open(path))
+    assert rec["bf16_top1"] - rec["int8_top1"] <= 0.02 + 1e-9
+    assert rec["int8_top1"] >= 0.90
