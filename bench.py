@@ -173,6 +173,36 @@ def bench_inference(batch_size=32, clip_len=16, crop=112,
     return batch_size / sec
 
 
+def bench_int8_inference(batch_size=32, clip_len=16, crop=112,
+                         model_name="r2plus1d_18"):
+    """int8 PTQ serving engine (ops/int8_infer) clips/s, same geometry as
+    bench_inference. Throughput is weight-independent: random weights,
+    calibration on one random batch."""
+    from fastvideotagging_tpu.models import get_model
+    from fastvideotagging_tpu.ops.int8_infer import (
+        calibrate, quantize_variables, r2plus1d_int8_infer,
+    )
+
+    model = get_model(model_name, num_classes=101)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, clip_len, crop, crop, 3)), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0[:1], train=False)
+    qpack = quantize_variables(variables, calibrate(variables, [x0[:4]]))
+
+    @jax.jit
+    def step(xi):
+        y = r2plus1d_int8_infer(qpack, xi)
+        # evolving input (content-identical buffers are deduped)
+        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
+
+    def step_once(carry):
+        return step(x0 if carry is None else carry)
+
+    sec = _timeit_chain(step_once)
+    return batch_size / sec
+
+
 def bench_preprocess(batch_size=32, clip_len=16, source_hw=(128, 171)):
     from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
 
@@ -226,6 +256,8 @@ def main():
         lambda: bench_train_step(batch_size, model_name="r2plus1d_18_tpu"),
         (-1.0, -1.0, 0.0, -1.0, 0.0), "r2plus1d_18_tpu train step")
     infer_clips = _safe(lambda: bench_inference(batch_size), -1.0, "inference")
+    int8_clips = _safe(lambda: bench_int8_inference(batch_size), -1.0,
+                       "int8 inference")
     frames_per_sec = _safe(lambda: bench_preprocess(batch_size), -1.0,
                            "preprocess")
     # [B:9] Kinetics config: R(2+1)D-34 at 32x224x224. Batch sized to fit
@@ -274,6 +306,7 @@ def main():
             "xla_flops_per_step": flops,
             "preprocess_frames_per_sec": round(frames_per_sec, 1),
             "inference_clips_per_sec": round(infer_clips, 2),
+            "int8_inference_clips_per_sec": round(int8_clips, 2),
             "r2plus1d18_tpu_variant_clips_per_sec": round(tpu_clips, 2),
             "r2plus1d18_tpu_variant_tflops": round(tpu_tflops, 2),
             "r2plus1d18_tpu_variant_roofline_fraction": round(

@@ -199,8 +199,10 @@ def main(argv=None):
     result = {
         "benchmark": "int8_ptq_serving",
         "scheme": ("per-out-channel int8 weights with folded smoothing "
-                   "factors, DYNAMIC per-tensor activation scales "
-                   "(in-graph amax), mixed-precision bf16 tail for the "
+                   "factors (clamped 10x band); static per-site scales "
+                   "with 2x headroom margin, fused single-pass requant "
+                   "(default) or dynamic in-graph per-tensor scales "
+                   "(robust mode); mixed-precision bf16 tail for the "
                    "cancellation-amplifying stage-4 blocks"),
         "bf16_top1": round(bf16_top1, 4),
         "sweep_top1": {k: round(v, 4) for k, v in sweep_top1.items()},
