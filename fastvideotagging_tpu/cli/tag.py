@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--clip-batch", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="serve through the int8 PTQ engine (self-calibrates "
+                        "on each video's first chunk; r2plus1d family)")
     args = p.parse_args(argv)
     cfg = build_config(args)
 
@@ -34,7 +37,8 @@ def main(argv=None):
             tag_names = [line.strip() for line in f if line.strip()]
 
     variables = load_weights(args.weights)
-    tagger = Tagger(cfg, variables, tag_names, clip_batch=args.clip_batch)
+    tagger = Tagger(cfg, variables, tag_names, clip_batch=args.clip_batch,
+                    int8=args.int8)
     for video in args.videos:
         results = tagger.tag(video, threshold=args.threshold, top_k=args.top_k)
         print(json.dumps({

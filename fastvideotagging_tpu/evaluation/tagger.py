@@ -41,6 +41,7 @@ class Tagger:
         variables: dict,
         tag_names: list[str] | None = None,
         clip_batch: int = 8,
+        int8: bool = False,
     ):
         self.cfg = cfg
         self.variables = variables
@@ -57,6 +58,19 @@ class Tagger:
                 model.apply(v, x, train=False), cfg.model.multilabel
             )
         )
+        # int8 PTQ serving (ops/int8_infer): the engine self-calibrates on
+        # the first preprocessed chunk of each video (representative by
+        # construction) and is rebuilt per video.
+        self.int8 = int8
+        if int8:
+            from fastvideotagging_tpu.evaluation.quantized import STAGE_BLOCKS
+
+            if cfg.model.name not in STAGE_BLOCKS:
+                raise ValueError(
+                    f"int8 tagging covers {sorted(STAGE_BLOCKS)}; "
+                    f"got {cfg.model.name!r}")
+        self._int8_apply = None
+        self._qpack = None
 
     def video_scores(self, video_path: str) -> np.ndarray:
         """Aggregated per-tag scores for one video, streaming over clips."""
@@ -73,6 +87,7 @@ class Tagger:
         # One forward decode pass over the whole video (O(video) total, not
         # O(video^2) from reopening per chunk) with a small overlap cache.
         span = (s.clip_len - 1) * s.stride + 1
+        self._int8_apply = None  # recalibrate per video
         with decode.SequentialReader(
                 video_path, cache_size=max(128, 2 * span)) as reader:
             total = self._score_chunks(reader, clip_idx, ship_hw, total)
@@ -95,7 +110,20 @@ class Tagger:
                 clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
                 out_dtype_name=self.cfg.model.compute_dtype,
             )
-            scores = np.asarray(self._apply(self.variables, clips))[:nclips]
+            if self.int8:
+                if self._int8_apply is None:
+                    from fastvideotagging_tpu.evaluation.quantized import (
+                        make_int8_apply,
+                    )
+
+                    self._qpack, self._int8_apply = make_int8_apply(
+                        self.cfg.model.name, self.variables, [clips],
+                        multilabel=self.cfg.model.multilabel)
+                scores = np.asarray(
+                    self._int8_apply(self._qpack, clips))[:nclips]
+            else:
+                scores = np.asarray(
+                    self._apply(self.variables, clips))[:nclips]
             total += scores.astype(np.float64).sum(axis=0)
         return total
 
@@ -127,6 +155,7 @@ def tag(
     stride: int = 1,
     eval_mode: str = "dense",
     cfg: ExperimentConfig | None = None,
+    int8: bool = False,
 ) -> list[TagResult]:
     """Convenience one-call API mirroring the reference's inference script."""
     if cfg is None:
@@ -142,5 +171,5 @@ def tag(
         from fastvideotagging_tpu.train.checkpoint import load_weights
 
         variables = load_weights(checkpoint)
-    tagger = Tagger(cfg, variables, tag_names)
+    tagger = Tagger(cfg, variables, tag_names, int8=int8)
     return tagger.tag(video_path, threshold=threshold, top_k=top_k)

@@ -106,3 +106,35 @@ class TestTagger:
         a = tagger.video_scores(records[1].path)
         b = tagger.video_scores(records[1].path)
         np.testing.assert_array_equal(a, b)
+
+    def test_int8_serving_path(self, synthetic_dataset):
+        """Tagger(int8=True): self-calibrating quantized engine end to end
+        on a real decoded video; scores finite, valid, deterministic."""
+        import pytest
+
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cfg = ExperimentConfig(
+            model=ModelConfig(name="r2plus1d_18", num_classes=3,
+                              multilabel=True, compute_dtype="bfloat16"),
+            data=DataConfig(source_hw=(48, 64), resize_hw=(40, 56),
+                            crop_hw=(32, 32),
+                            sampler=ClipSamplerConfig(clip_len=4, stride=2,
+                                                      eval_mode="uniform",
+                                                      num_eval_clips=2)),
+        )
+        model = get_model("r2plus1d_18", num_classes=3)
+        x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=False)
+        tagger = Tagger(cfg, variables, clip_batch=2, int8=True)
+        a = tagger.video_scores(records[0].path)
+        assert a.shape == (3,) and np.isfinite(a).all()
+        assert (a >= 0).all() and (a <= 1).all()
+        b = tagger.video_scores(records[0].path)
+        np.testing.assert_array_equal(a, b)
+        # unsupported family fails loudly at construction
+        tiny_cfg = eval_cfg(multilabel=True)
+        _, tiny_vars = init_variables(tiny_cfg)
+        with pytest.raises(ValueError, match="int8 tagging covers"):
+            Tagger(tiny_cfg, tiny_vars, int8=True)
