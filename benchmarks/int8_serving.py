@@ -80,10 +80,14 @@ def serving_throughput(batch_size=32, clip_len=16, crop=112, classes=101):
         y = r2plus1d_int8_infer(qpack, xi, dynamic=True)
         return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
 
-    bf16_sec = timeit(bf16_step)
-    int8_sec = timeit(int8_step)
-    dyn_sec = timeit(int8_dyn_step)
-    return batch_size / bf16_sec, batch_size / int8_sec, batch_size / dyn_sec
+    @jax.jit
+    def int8_deqres_step(xi):
+        y = r2plus1d_int8_infer(qpack, xi, residual="dequant")
+        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
+
+    return (batch_size / timeit(bf16_step), batch_size / timeit(int8_step),
+            batch_size / timeit(int8_dyn_step),
+            batch_size / timeit(int8_deqres_step))
 
 
 def accuracy(num_classes=50, epochs=60, batch_size=64, base_lr=0.05, seed=0):
@@ -154,10 +158,11 @@ def accuracy(num_classes=50, epochs=60, batch_size=64, base_lr=0.05, seed=0):
     bf16_scores, records = evaluate_video_scores(model, variables, ds, cfg,
                                                  clip_batch=8)
 
-    def int8_scores_for(float_blocks, dynamic=False, qp=None):
+    def int8_scores_for(float_blocks, dynamic=False, qp=None,
+                        residual="exact"):
         apply = jax.jit(lambda q, x: heads.predict_scores(
             r2plus1d_int8_infer(q, x, float_blocks=float_blocks,
-                                dynamic=dynamic), False))
+                                dynamic=dynamic, residual=residual), False))
         scores, _ = evaluate_video_scores(model, qp or qpack, ds, cfg,
                                           clip_batch=8, apply_fn=apply)
         return scores
@@ -182,6 +187,9 @@ def accuracy(num_classes=50, epochs=60, batch_size=64, base_lr=0.05, seed=0):
     for m, qp in qpacks_margin.items():
         top1[f"stage4_float_margin{m}"] = topk_accuracy(
             int8_scores_for(sweep["stage4_float"], qp=qp), labels, k=1)
+    top1["stage4_float_dequant_residual"] = topk_accuracy(
+        int8_scores_for(sweep["stage4_float"], residual="dequant"),
+        labels, k=1)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
@@ -209,12 +217,13 @@ def main(argv=None):
         "int8_top1": round(sweep_top1["stage4_float"], 4),
     }
     if not args.skip_throughput:
-        bf16_cps, int8_cps, dyn_cps = serving_throughput()
+        bf16_cps, int8_cps, dyn_cps, deqres_cps = serving_throughput()
         result.update({
             "geometry": "B=32 16x112x112",
             "bf16_clips_per_sec": round(bf16_cps, 1),
             "int8_clips_per_sec": round(int8_cps, 1),
             "int8_dynamic_clips_per_sec": round(dyn_cps, 1),
+            "int8_dequant_residual_clips_per_sec": round(deqres_cps, 1),
             "speedup": round(int8_cps / bf16_cps, 3),
         })
     line = json.dumps(result, indent=2)

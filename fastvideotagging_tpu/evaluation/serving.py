@@ -19,10 +19,13 @@ from fastvideotagging_tpu.models import heads, model_from_config
 from fastvideotagging_tpu.ops.preprocess_kernel import preprocess_batch
 
 
-def make_serving_fn(cfg: ExperimentConfig, variables: dict):
+def make_serving_fn(cfg: ExperimentConfig, variables: dict, qpack=None):
     """(clips uint8 (N,T,H,W,3)) -> scores f32 (N,K): preprocess + fwd + head.
 
     Center-crop, no flip — the deterministic eval path baked end to end.
+    With ``qpack`` (from quantize_for_serving) the backbone runs through the
+    int8 PTQ engine instead of model.apply — the int8 weights and epilogue
+    constants bake into the exported program like any other constant.
     """
     d = cfg.data
     model = model_from_config(cfg.model, backend="xla")
@@ -32,6 +35,12 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict):
     mean = jnp.asarray(d.mean, jnp.float32)
     std = jnp.asarray(d.std, jnp.float32)
     multilabel = cfg.model.multilabel
+    if qpack is not None:
+        from fastvideotagging_tpu.evaluation.quantized import STAGE_BLOCKS
+        from fastvideotagging_tpu.ops.int8_infer import r2plus1d_int8_infer
+
+        stage_blocks = STAGE_BLOCKS[cfg.model.name]
+        tail = tuple(f"stage4_block{b}" for b in range(stage_blocks[3]))
 
     def scores(frames_u8):
         n = frames_u8.shape[0]
@@ -42,20 +51,50 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict):
             resize_hw=d.resize_hw, crop_hw=d.crop_hw,
             out_dtype_name=cfg.model.compute_dtype,
         )
-        logits = model.apply(variables, clips, train=False)
+        if qpack is not None:
+            logits = r2plus1d_int8_infer(qpack, clips, stage_blocks,
+                                         float_blocks=tail)
+        else:
+            logits = model.apply(variables, clips, train=False)
         return heads.predict_scores(logits, multilabel)
 
     return scores
 
 
+def quantize_for_serving(cfg: ExperimentConfig, variables: dict,
+                         calib_frames_u8) -> dict:
+    """-> qpack for the int8 serving export, calibrated on uint8 clip
+    batches run through the SAME baked preprocess path."""
+    from fastvideotagging_tpu.evaluation.quantized import STAGE_BLOCKS
+    from fastvideotagging_tpu.ops.int8_infer import calibrate, quantize_variables
+
+    d = cfg.data
+    rh, rw = d.resize_hw
+    ch, cw = d.crop_hw
+    top, left = (rh - ch) // 2, (rw - cw) // 2
+    stage_blocks = STAGE_BLOCKS[cfg.model.name]
+    calib = []
+    for frames in calib_frames_u8:
+        n = frames.shape[0]
+        calib.append(preprocess_batch(
+            jnp.asarray(frames),
+            jnp.full((n,), top, jnp.int32), jnp.full((n,), left, jnp.int32),
+            jnp.zeros((n,), bool),
+            jnp.asarray(d.mean, jnp.float32), jnp.asarray(d.std, jnp.float32),
+            resize_hw=d.resize_hw, crop_hw=d.crop_hw,
+            out_dtype_name=cfg.model.compute_dtype))
+    scales = calibrate(variables, calib, stage_blocks)
+    return quantize_variables(variables, scales, stage_blocks)
+
+
 def export_serving(cfg: ExperimentConfig, variables: dict, clip_batch: int,
-                   path: str | None = None) -> bytes:
+                   path: str | None = None, qpack=None) -> bytes:
     """Serialize the serving fn for (clip_batch, T, H, W, 3) uint8 input."""
     d = cfg.data
     h, w = d.source_hw or d.resize_hw
     spec = jax.ShapeDtypeStruct(
         (clip_batch, d.sampler.clip_len, h, w, 3), jnp.uint8)
-    fn = jax.jit(make_serving_fn(cfg, variables))
+    fn = jax.jit(make_serving_fn(cfg, variables, qpack=qpack))
     data = jax_export.export(fn)(spec).serialize()
     if path is not None:
         with open(path, "wb") as f:
@@ -72,7 +111,7 @@ def load_serving(path_or_bytes) -> "jax_export.Exported":
 
 def export_serving_stablehlo(cfg: ExperimentConfig, variables: dict,
                              clip_batch: int, path: str,
-                             platforms=None) -> bytes:
+                             platforms=None, qpack=None) -> bytes:
     """Raw StableHLO bytecode of the serving fn — the native-runner format.
 
     Unlike export_serving (a jax.export artifact, reloadable only by jax),
@@ -85,7 +124,7 @@ def export_serving_stablehlo(cfg: ExperimentConfig, variables: dict,
     h, w = d.source_hw or d.resize_hw
     spec = jax.ShapeDtypeStruct(
         (clip_batch, d.sampler.clip_len, h, w, 3), jnp.uint8)
-    fn = jax.jit(make_serving_fn(cfg, variables))
+    fn = jax.jit(make_serving_fn(cfg, variables, qpack=qpack))
     exported = jax_export.export(fn, platforms=platforms)(spec)
     data = exported.mlir_module_serialized
     with open(path, "wb") as f:

@@ -311,10 +311,12 @@ DEFAULT_FLOAT_BLOCKS = ("stage4_block0", "stage4_block1")
 
 
 @functools.partial(jax.jit, static_argnames=("stage_blocks", "float_blocks",
-                                             "dynamic", "debug_sites"))
+                                             "dynamic", "residual",
+                                             "debug_sites"))
 def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
                         float_blocks=DEFAULT_FLOAT_BLOCKS,
-                        dynamic: bool = False, debug_sites: bool = False):
+                        dynamic: bool = False, residual: str = "dequant",
+                        debug_sites: bool = False):
     """Quantized forward. x: (B, T, H, W, 3) preprocessed f32/bf16 clips
     -> (B, K) f32 logits; with debug_sites=True -> (logits, {site: f32
     reconstructed conv input}) for PTQ error attribution.
@@ -327,7 +329,12 @@ def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
     static scalars. Measured v5e, B=32 16x112x112: static 1.43x over bf16
     (the whole requant fuses into the conv epilogue), dynamic 0.84x (the
     amax forces an extra materialization pass per site) — static is the
-    default; use dynamic when calibration data is unrepresentative."""
+    default; use dynamic when calibration data is unrepresentative.
+
+    ``residual``: 'dequant' (default) reconstructs the block input from
+    its quantized form, saving a full-tensor bf16 write+read per block
+    (1400 vs 1358 clips/s, top-1 parity held — INT8_SERVING.json);
+    'exact' adds the unquantized input in f32 for maximum fidelity."""
     inv_f = qpack["inv_f"]
     sites = {}
 
@@ -388,6 +395,12 @@ def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
                     rf = conv_q(q_in, s_in, blk["downsample"],
                                 (stride, stride, stride),
                                 relu=False, out_f32=True)
+                elif residual == "dequant":
+                    # reconstruct the residual from the quantized input:
+                    # the block input never materializes in bf16 (saves a
+                    # write+read of the full tensor per block) at the cost
+                    # of site-level rounding noise on the residual path
+                    rf = q_in.astype(jnp.float32) * (s_in / inv_f[f"{key}.in"])
                 else:
                     rf = y.astype(jnp.float32)
             else:
