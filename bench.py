@@ -258,6 +258,11 @@ def main():
     infer_clips = _safe(lambda: bench_inference(batch_size), -1.0, "inference")
     int8_clips = _safe(lambda: bench_int8_inference(batch_size), -1.0,
                        "int8 inference")
+    # bulk-serving sweet spot: inference (fwd-only) keeps scaling past the
+    # training-saturating batch; measured B=128 optimal (B=256 regresses)
+    infer128 = _safe(lambda: bench_inference(128), -1.0, "inference B=128")
+    int8_128 = _safe(lambda: bench_int8_inference(128), -1.0,
+                     "int8 inference B=128")
     frames_per_sec = _safe(lambda: bench_preprocess(batch_size), -1.0,
                            "preprocess")
     # [B:9] Kinetics config: R(2+1)D-34 at 32x224x224. Batch sized to fit
@@ -307,6 +312,8 @@ def main():
             "preprocess_frames_per_sec": round(frames_per_sec, 1),
             "inference_clips_per_sec": round(infer_clips, 2),
             "int8_inference_clips_per_sec": round(int8_clips, 2),
+            "inference_b128_clips_per_sec": round(infer128, 2),
+            "int8_inference_b128_clips_per_sec": round(int8_128, 2),
             "r2plus1d18_tpu_variant_clips_per_sec": round(tpu_clips, 2),
             "r2plus1d18_tpu_variant_tflops": round(tpu_tflops, 2),
             "r2plus1d18_tpu_variant_roofline_fraction": round(
