@@ -140,6 +140,46 @@ def test_make_int8_apply_eval_glue(model_and_vars, clips):
         make_int8_apply("c3d", variables, [clips])
 
 
+def test_int8_engine_tpu_variant_walk(clips):
+    """The engine walk is structure-driven: the MXU-aligned `_tpu` variant
+    (128-wide stem, 128-multiple mids) quantizes and runs unchanged."""
+    model = get_model("r2plus1d_18_tpu", num_classes=7)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), clips, train=False)
+    scales = calibrate(variables, [clips], STAGE_BLOCKS)
+    qpack = quantize_variables(variables, scales, STAGE_BLOCKS)
+    q = np.asarray(r2plus1d_int8_infer(qpack, clips, STAGE_BLOCKS))
+    ref = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, clips))
+    assert q.shape == ref.shape == (clips.shape[0], 7)
+    assert np.isfinite(q).all()
+
+
+def test_int8_engine_data_parallel_sharding(model_and_vars, clips):
+    """Batch-sharded over the 8-device `data` axis, the int8 engine's
+    scores equal the unsharded run to bf16 tolerance (the sharded program
+    tiles differently, so fp accumulation order inside the bf16 tail is
+    not bitwise-stable) — GSPMD correctness for the int8 conv + requant
+    graph."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fastvideotagging_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    _, variables = model_and_vars
+    scales = calibrate(variables, [clips], STAGE_BLOCKS)
+    qpack = quantize_variables(variables, scales, STAGE_BLOCKS)
+    x8 = jnp.concatenate([clips] * 4, axis=0)  # batch 8 over 8 devices
+    ref = np.asarray(r2plus1d_int8_infer(qpack, x8, STAGE_BLOCKS))
+    mesh = make_mesh(8, 1)
+    xs = jax.device_put(
+        x8, NamedSharding(mesh, P("data", None, None, None, None)))
+    got = np.asarray(r2plus1d_int8_infer(qpack, xs, STAGE_BLOCKS))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1.5e-1)
+
+
 def test_recorded_accuracy_gate():
     """benchmarks/INT8_SERVING.json (produced on the TPU) must show the
     int8 engine within 2 points of bf16 top-1 on the hard benchmark."""
