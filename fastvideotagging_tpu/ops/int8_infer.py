@@ -326,10 +326,11 @@ def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
 
     ``dynamic``: per-tensor activation scales computed in-graph per batch
     (robust to calibration drift, never clips) instead of the calibrated
-    static scalars. Measured v5e, B=32 16x112x112: static 1.43x over bf16
-    (the whole requant fuses into the conv epilogue), dynamic 0.84x (the
-    amax forces an extra materialization pass per site) — static is the
-    default; use dynamic when calibration data is unrepresentative.
+    static scalars. Measured v5e, B=32 16x112x112 (INT8_SERVING.json):
+    static 1400 clips/s = 1.3x over bf16 (the whole requant fuses into
+    the conv epilogue), dynamic ~0.85-1.1x (the amax forces an extra
+    materialization pass per site) — static is the default; use dynamic
+    when calibration data is unrepresentative.
 
     ``residual``: 'dequant' (default) reconstructs the block input from
     its quantized form, saving a full-tensor bf16 write+read per block
