@@ -88,9 +88,16 @@ def _timeit_chain(step_once, warmup=2, n_short=4, n_long=16, repeats=3):
         t_long = run(n_long)
         slopes.append((t_long - t_short) / (n_long - n_short))
     # noise on short chains can produce non-positive slopes; the fastest
-    # PLAUSIBLE observation is the estimate
+    # PLAUSIBLE observation is the estimate. If EVERY repeat is
+    # non-positive the measurement is garbage — fail loudly (secondary
+    # benches surface it as the -1 sentinel via _safe) rather than publish
+    # a fabricated number.
     positive = [s for s in slopes if s > 0]
-    return min(positive) if positive else abs(max(slopes)) or 1e-9
+    if not positive:
+        raise RuntimeError(
+            f"all timing slopes non-positive ({slopes}); tunnel noise "
+            f"swamped the chain — rerun or lengthen n_long")
+    return min(positive)
 
 
 def bench_train_step(batch_size=32, clip_len=16, crop=112, source_hw=(128, 171),

@@ -125,7 +125,11 @@ class ClipDataset:
         frames = decode.read_frames_at(rec.path, np.arange(n))
         frames = _ensure_size(frames, self.ship_hw)
         with self._cache_lock:
-            if self._cache_bytes + frames.nbytes <= self._cache_budget:
+            if rec.path in self._frame_cache:
+                # another worker inserted while we decoded — don't bill the
+                # budget twice for one key
+                pass
+            elif self._cache_bytes + frames.nbytes <= self._cache_budget:
                 self._frame_cache[rec.path] = frames
                 self._cache_bytes += frames.nbytes
             elif not self._cache_full_logged:

@@ -58,19 +58,25 @@ class Tagger:
                 model.apply(v, x, train=False), cfg.model.multilabel
             )
         )
-        # int8 PTQ serving (ops/int8_infer): the engine self-calibrates on
+        # int8 PTQ serving (ops/int8_infer): the jitted engine is built
+        # ONCE here (qpack is a traced argument — per-video rebuilds would
+        # recompile the backbone per video); the qpack self-calibrates on
         # the first preprocessed chunk of each video (representative by
-        # construction) and is rebuilt per video.
+        # construction).
         self.int8 = int8
+        self._int8_apply = None
+        self._qpack = None
         if int8:
-            from fastvideotagging_tpu.evaluation.quantized import STAGE_BLOCKS
+            from fastvideotagging_tpu.evaluation.quantized import (
+                STAGE_BLOCKS, make_int8_engine,
+            )
 
             if cfg.model.name not in STAGE_BLOCKS:
                 raise ValueError(
                     f"int8 tagging covers {sorted(STAGE_BLOCKS)}; "
                     f"got {cfg.model.name!r}")
-        self._int8_apply = None
-        self._qpack = None
+            self._int8_apply = make_int8_engine(
+                cfg.model.name, multilabel=cfg.model.multilabel)
 
     def video_scores(self, video_path: str) -> np.ndarray:
         """Aggregated per-tag scores for one video, streaming over clips."""
@@ -87,7 +93,7 @@ class Tagger:
         # One forward decode pass over the whole video (O(video) total, not
         # O(video^2) from reopening per chunk) with a small overlap cache.
         span = (s.clip_len - 1) * s.stride + 1
-        self._int8_apply = None  # recalibrate per video
+        self._qpack = None  # recalibrate per video (engine stays compiled)
         with decode.SequentialReader(
                 video_path, cache_size=max(128, 2 * span)) as reader:
             total = self._score_chunks(reader, clip_idx, ship_hw, total)
@@ -111,14 +117,13 @@ class Tagger:
                 out_dtype_name=self.cfg.model.compute_dtype,
             )
             if self.int8:
-                if self._int8_apply is None:
+                if self._qpack is None:
                     from fastvideotagging_tpu.evaluation.quantized import (
-                        make_int8_apply,
+                        quantize_for,
                     )
 
-                    self._qpack, self._int8_apply = make_int8_apply(
-                        self.cfg.model.name, self.variables, [clips],
-                        multilabel=self.cfg.model.multilabel)
+                    self._qpack = quantize_for(
+                        self.cfg.model.name, self.variables, [clips])
                 scores = np.asarray(
                     self._int8_apply(self._qpack, clips))[:nclips]
             else:

@@ -62,23 +62,57 @@ def model_from_config(m_cfg, **overrides) -> nn.Module:
 
 
 def load_pretrained(name: str, weights_path: str, num_classes: int = 101,
+                    reinit_head: bool = True,
                     **kwargs) -> tuple[nn.Module, dict]:
     """Constructor-with-weights (the reference's ``pretrained=`` path, C9):
     builds the module and loads weights. Accepts both this package's
     weights-only exports (train.checkpoint.export_weights) and public torch
     checkpoints (.pth/.pt — torchvision R(2+1)D state_dict layout, converted
-    by models.torch_import). Returns (module, variables)."""
+    by models.torch_import). Returns (module, variables).
+
+    ``reinit_head``: when the checkpoint's classifier size differs from
+    ``num_classes`` (the canonical fine-tune case — e.g. a Kinetics-400
+    checkpoint onto an N-class dataset), replace the ``fc`` head with a
+    fresh deterministic init instead of failing; ``False`` restores the
+    strict shape check."""
     model = get_model(name, num_classes=num_classes, **kwargs)
     if weights_path.endswith((".pth", ".pt")):
         from fastvideotagging_tpu.models.torch_import import load_torch_variables
 
         variables = load_torch_variables(name, weights_path)
-        _check_variable_shapes(model, variables, name)
     else:
         from fastvideotagging_tpu.train.checkpoint import load_weights
 
         variables = load_weights(weights_path)
+    if reinit_head:
+        variables = _maybe_reinit_head(model, variables, name)
+    _check_variable_shapes(model, variables, name)
     return model, variables
+
+
+def _maybe_reinit_head(model: nn.Module, variables: dict, name: str,
+                       clip_shape=(1, 16, 112, 112, 3)) -> dict:
+    """Replace a class-count-mismatched ``fc`` head with a fresh init."""
+    import jax
+    import jax.numpy as jnp
+
+    fc = variables.get("params", {}).get("fc")
+    if fc is None:
+        return variables
+    fresh = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros(clip_shape, jnp.float32), train=False)
+    want = jax.tree.map(lambda a: tuple(a.shape), fresh["params"]["fc"])
+    got = jax.tree.map(lambda a: tuple(a.shape), fc)
+    if want != got:
+        import logging
+
+        logging.getLogger("fvt").info(
+            "%s: checkpoint head %s != model head %s — reinitializing fc "
+            "for fine-tune", name, got, want)
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["fc"] = fresh["params"]["fc"]
+    return variables
 
 
 def _check_variable_shapes(model: nn.Module, variables: dict, name: str,

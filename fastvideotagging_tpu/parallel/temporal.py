@@ -45,7 +45,7 @@ def halo_temporal_conv(x_local: jax.Array, w: jax.Array,
     p = k // 2
     if stride > 1 and x_local.shape[1] % stride != 0:
         raise ValueError(
-            f"T_local={x_local.shape[1]} must divide stride={stride}")
+            f"stride={stride} must divide T_local={x_local.shape[1]}")
     if p == 0:
         return lax.conv_general_dilated(
             x_local, w[:, None, None], (stride, 1, 1), "VALID",

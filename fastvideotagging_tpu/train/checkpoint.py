@@ -61,7 +61,16 @@ class CheckpointManager:
         epoch = int((extra or {}).get("epoch", 0))
         payload = {"state": jax.device_get(state),
                    "epoch": np.asarray(epoch, np.int64)}
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        # Every call here is an intentional save; a SECOND save at the SAME
+        # step must win (it happens when checkpoint_every_steps divides the
+        # epoch length: the mid-epoch save records epoch-1 and the epoch-end
+        # save records epoch — orbax would otherwise keep the first and a
+        # later --resume would replay the whole completed epoch). Orbax
+        # raises StepAlreadyExistsError even with force, so replace.
+        if step in self._mgr.all_steps():
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

@@ -158,6 +158,26 @@ def test_load_pretrained_from_pth(torch_model_and_input, tmp_path):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_load_pretrained_cross_class_finetune(torch_model_and_input,
+                                              tmp_path):
+    """The canonical pretrained= use: an N-class checkpoint onto an
+    M-class dataset. The head is reinitialized, the backbone is kept."""
+    from fastvideotagging_tpu.models.zoo import load_pretrained
+
+    tm, _, _ = torch_model_and_input
+    path = tmp_path / "r2plus1d_18.pth"
+    torch.save(tm.state_dict(), str(path))
+    # 7-class checkpoint -> 101-class model head, default reinit_head
+    model, variables = load_pretrained("r2plus1d_18", str(path),
+                                       num_classes=101, dtype=jnp.float32)
+    assert variables["params"]["fc"]["kernel"].shape == (512, 101)
+    # backbone weights are the checkpoint's, not a fresh init
+    want = np.asarray(tm.stem[0].weight.detach()
+                      .permute(2, 3, 4, 1, 0).numpy())
+    got = np.asarray(variables["params"]["stem_spatial"]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_load_pretrained_shape_mismatch_raises(torch_model_and_input,
                                                tmp_path):
     from fastvideotagging_tpu.models.zoo import load_pretrained
@@ -165,7 +185,7 @@ def test_load_pretrained_shape_mismatch_raises(torch_model_and_input,
     tm, _, _ = torch_model_and_input
     path = tmp_path / "r2plus1d_18.pth"
     torch.save(tm.state_dict(), str(path))
-    # 7-class checkpoint vs 101-class model head
+    # 7-class checkpoint vs 101-class model head, strict mode
     with pytest.raises(ValueError, match="shape mismatch"):
         load_pretrained("r2plus1d_18", str(path), num_classes=101,
-                        dtype=jnp.float32)
+                        reinit_head=False, dtype=jnp.float32)

@@ -171,6 +171,25 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
 
+    def test_same_step_resave_takes_newest_epoch(self, tmp_path):
+        """A mid-epoch save (epoch-1) followed by the epoch-end save at the
+        SAME global step must yield the epoch-end metadata — orbax's
+        should_save would otherwise silently drop the second save and a
+        resume would replay the whole completed epoch."""
+        cfg = tiny_cfg()
+        model, state = make_state(cfg)
+        step = make_train_step(model, cfg, donate=False)
+        state, _ = step(state, synth_batch(cfg), jax.random.PRNGKey(1))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(state.step), jax.device_get(state), {"epoch": 4})
+        mgr.save(int(state.step), jax.device_get(state), {"epoch": 5})
+        mgr.wait()
+        _, fresh = make_state(cfg, rng_seed=99)
+        _, extra = mgr.restore(fresh)
+        assert int(extra["epoch"]) == 5
+        mgr.close()
+
     def test_weights_export(self, tmp_path):
         cfg = tiny_cfg()
         _, state = make_state(cfg)
