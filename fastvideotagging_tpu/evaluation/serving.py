@@ -36,11 +36,12 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict, qpack=None):
     std = jnp.asarray(d.std, jnp.float32)
     multilabel = cfg.model.multilabel
     if qpack is not None:
-        from fastvideotagging_tpu.evaluation.quantized import STAGE_BLOCKS
+        from fastvideotagging_tpu.evaluation.quantized import _resolved
         from fastvideotagging_tpu.ops.int8_infer import r2plus1d_int8_infer
 
-        stage_blocks = STAGE_BLOCKS[cfg.model.name]
-        tail = tuple(f"stage4_block{b}" for b in range(stage_blocks[3]))
+        # _resolved raises the informative coverage error (not a bare
+        # KeyError) for models the int8 engine does not cover (ADVICE r2)
+        stage_blocks, tail = _resolved(cfg.model.name, None)
 
     def scores(frames_u8):
         n = frames_u8.shape[0]
@@ -65,14 +66,14 @@ def quantize_for_serving(cfg: ExperimentConfig, variables: dict,
                          calib_frames_u8) -> dict:
     """-> qpack for the int8 serving export, calibrated on uint8 clip
     batches run through the SAME baked preprocess path."""
-    from fastvideotagging_tpu.evaluation.quantized import STAGE_BLOCKS
+    from fastvideotagging_tpu.evaluation.quantized import _resolved
     from fastvideotagging_tpu.ops.int8_infer import calibrate, quantize_variables
 
     d = cfg.data
     rh, rw = d.resize_hw
     ch, cw = d.crop_hw
     top, left = (rh - ch) // 2, (rw - cw) // 2
-    stage_blocks = STAGE_BLOCKS[cfg.model.name]
+    stage_blocks, _ = _resolved(cfg.model.name, None)
     calib = []
     for frames in calib_frames_u8:
         n = frames.shape[0]

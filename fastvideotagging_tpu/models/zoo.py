@@ -99,9 +99,15 @@ def _maybe_reinit_head(model: nn.Module, variables: dict, name: str,
     fc = variables.get("params", {}).get("fc")
     if fc is None:
         return variables
-    fresh = model.init(jax.random.PRNGKey(0),
-                       jnp.zeros(clip_shape, jnp.float32), train=False)
-    want = jax.tree.map(lambda a: tuple(a.shape), fresh["params"]["fc"])
+
+    def init_fn():
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros(clip_shape, jnp.float32), train=False)
+
+    # Shape-only compare first (free); the real init — per-op eager compiles
+    # cost seconds on this 1-core box — runs jitted and only on mismatch.
+    want = jax.tree.map(lambda a: tuple(a.shape),
+                        jax.eval_shape(init_fn)["params"]["fc"])
     got = jax.tree.map(lambda a: tuple(a.shape), fc)
     if want != got:
         import logging
@@ -109,6 +115,7 @@ def _maybe_reinit_head(model: nn.Module, variables: dict, name: str,
         logging.getLogger("fvt").info(
             "%s: checkpoint head %s != model head %s — reinitializing fc "
             "for fine-tune", name, got, want)
+        fresh = jax.jit(init_fn)()
         variables = dict(variables)
         variables["params"] = dict(variables["params"])
         variables["params"]["fc"] = fresh["params"]["fc"]

@@ -161,6 +161,25 @@ def _walk(variables, x, stage_blocks, record):
     return logits.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("stage_blocks",))
+def _calibrate_sites(variables, x, stage_blocks):
+    """One jitted calibration pass -> {site: (C,) f32 absmax}.
+
+    Module-level so the compile is shared across calibrate() calls:
+    Tagger's per-video self-calibration (evaluation/tagger.py) re-enters
+    here with the same shapes/structure and hits the jit cache instead of
+    recompiling the full bf16 walk per video (ADVICE r2, medium)."""
+    sites = {}
+
+    def record(name, t):
+        tf = jnp.abs(t.astype(jnp.float32))
+        sites[name] = jnp.max(tf, axis=tuple(range(tf.ndim - 1)))
+        return t
+
+    _walk(variables, x, stage_blocks, record)
+    return sites
+
+
 def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2)):
     """-> {site: (C,) f32 per-channel activation absmax/127} over batches.
 
@@ -172,20 +191,9 @@ def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2)):
     tensors the bf16 model consumes)."""
     maxima: dict[str, np.ndarray] = {}
 
-    @functools.partial(jax.jit, static_argnames=())
-    def one(x):
-        sites = {}
-
-        def record(name, t):
-            tf = jnp.abs(t.astype(jnp.float32))
-            sites[name] = jnp.max(tf, axis=tuple(range(tf.ndim - 1)))
-            return t
-
-        _walk(variables, x, tuple(stage_blocks), record)
-        return sites
-
     for x in batches:
-        sites = jax.device_get(one(jnp.asarray(x)))
+        sites = jax.device_get(
+            _calibrate_sites(variables, jnp.asarray(x), tuple(stage_blocks)))
         for k, v in sites.items():
             v = np.asarray(v, np.float64)
             maxima[k] = v if k not in maxima else np.maximum(maxima[k], v)

@@ -171,6 +171,7 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
     t_cfg, d_cfg = cfg.train, cfg.data
     for epoch in range(start_epoch, t_cfg.num_epochs):
         loss_avg, top1_avg = RunningMean(), RunningMean()
+        metrics = None  # this epoch's last step; None if the epoch is empty
         epoch_start = time.time()
         tic = time.time()
         batches = device_prefetch(
@@ -206,7 +207,7 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                 ckpt.save(global_step, state,
                           {"epoch": epoch - 1})
 
-        if loss_avg.weight == 0 and global_step > 0:
+        if loss_avg.weight == 0 and metrics is not None:
             # short epochs can finish between log_every sync points; pull
             # the last step's metrics once so the summary is never nan
             last = jax.device_get(metrics)
