@@ -68,9 +68,31 @@ def measure(videos=12, frames=64, size=(240, 320), clip_len=16, batch=8,
         ):
             n_dev += b["frames"].shape[0]
         dev_dt = time.perf_counter() - t0
+
+        # (3) the decode-once packed tier (data/packed.py): pack the same
+        # records once, then the loader serves clips from the mmap with
+        # zero FFmpeg — the "Fast" path for real-video training.
+        from fastvideotagging_tpu.data.packed import PackedDataset, write_pack
+
+        pack_path = f"{root}/bench.fvtpack"
+        t0 = time.perf_counter()
+        write_pack(records, pack_path, cfg.resize_hw)
+        pack_s = time.perf_counter() - t0
+        pds = PackedDataset(pack_path, cfg, mode="train")
+        for _ in train_batches(pds, batch, 0, num_workers=workers):
+            pass  # warm (page cache, thread pool)
+        t0 = time.perf_counter()
+        n_packed = 0
+        for epoch in range(1, epochs + 1):
+            for b in train_batches(pds, batch, epoch, num_workers=workers):
+                n_packed += b["frames"].shape[0]
+        packed_s = n_packed / (time.perf_counter() - t0)
         return {
             "decode_clips_per_sec": round(clips_s, 2),
             "decode_frames_per_sec": round(clips_s * clip_len, 1),
+            "packed_clips_per_sec": round(packed_s, 2),
+            "packed_frames_per_sec": round(packed_s * clip_len, 1),
+            "pack_write_s": round(pack_s, 1),
             "with_device_put_clips_per_sec": round(n_dev / dev_dt, 2),
             "source": f"{size[0]}x{size[1]} mp4",
             "workers": workers,

@@ -14,6 +14,7 @@ import jax
 
 from fastvideotagging_tpu.cli.common import add_common_flags, build_config
 from fastvideotagging_tpu.data import ucf101
+from fastvideotagging_tpu.data.packed import is_pack, open_dataset
 from fastvideotagging_tpu.data.pipeline import ClipDataset
 from fastvideotagging_tpu.evaluation.evaluate import evaluate
 from fastvideotagging_tpu.models import model_from_config
@@ -37,11 +38,15 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = build_config(args)
 
-    cidx = (ucf101.load_class_index(args.class_index)
-            if args.class_index else None)
-    records = ucf101.load_video_list(cfg.data.val_list, cfg.data.root, cidx)
     num_tags = cfg.model.num_classes if cfg.model.multilabel else None
-    dataset = ClipDataset(records, cfg.data, mode="eval", num_tags=num_tags)
+    if is_pack(cfg.data.val_list):
+        dataset = open_dataset(cfg.data.val_list, cfg.data, mode="eval",
+                               num_tags=num_tags)
+    else:
+        cidx = (ucf101.load_class_index(args.class_index)
+                if args.class_index else None)
+        records = ucf101.load_video_list(cfg.data.val_list, cfg.data.root, cidx)
+        dataset = ClipDataset(records, cfg.data, mode="eval", num_tags=num_tags)
 
     model = model_from_config(cfg.model)
     import jax.numpy as jnp

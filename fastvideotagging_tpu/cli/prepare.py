@@ -61,18 +61,51 @@ def write_splits(classes: dict[str, list[str]], out_dir: str,
             "val": len(test_rows)}
 
 
+def pack_splits(out_dir: str, root: str, resize_hw) -> dict:
+    """Decode-once step: pack both split lists to ``.fvtpack`` files.
+
+    Reads the lists write_splits just produced, decodes every video exactly
+    once, resizes to ``resize_hw`` (the spec geometry), and writes flat
+    mmap-able uint8 packs the loader reads with zero FFmpeg in the train
+    loop (data/packed.py — the reference's NVVL-prep equivalent).
+    """
+    from fastvideotagging_tpu.data import ucf101
+    from fastvideotagging_tpu.data.packed import PACK_EXT, write_pack
+
+    cidx = ucf101.load_class_index(os.path.join(out_dir, "classInd.txt"))
+    stats = {}
+    for split in ("trainlist01", "testlist01"):
+        records = ucf101.load_video_list(
+            os.path.join(out_dir, f"{split}.txt"), root, cidx)
+        stats[split] = write_pack(
+            records, os.path.join(out_dir, f"{split}{PACK_EXT}"),
+            resize_hw, root=root)
+    return stats
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("root", help="dataset root: root/ClassName/video.ext")
     p.add_argument("--out", default=None, help="output dir (default: root)")
     p.add_argument("--val-fraction", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pack", action="store_true",
+                   help="also decode each video once into mmap-able "
+                        ".fvtpack files (zero-FFmpeg train loop; pass the "
+                        ".fvtpack paths as --train-list/--val-list)")
+    p.add_argument("--pack-resize", type=int, nargs=2, default=(128, 171),
+                   metavar=("H", "W"),
+                   help="pack frame geometry; must equal the training "
+                        "config's resize_hw (default UCF101 spec 128 171)")
     args = p.parse_args(argv)
     classes = scan_tree(args.root)
     if not classes:
         raise SystemExit(f"no class directories with videos under {args.root}")
-    stats = write_splits(classes, args.out or args.root,
-                         args.val_fraction, args.seed)
+    out_dir = args.out or args.root
+    stats = write_splits(classes, out_dir, args.val_fraction, args.seed)
+    if args.pack:
+        stats["packs"] = pack_splits(out_dir, args.root,
+                                     tuple(args.pack_resize))
     print(stats)
 
 

@@ -30,6 +30,17 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 
 def load_records(cfg, args):
+    from fastvideotagging_tpu.data.packed import is_pack
+
+    if is_pack(cfg.data.train_list):
+        # Decode-once tier: labels/tags live inside the pack; pass the
+        # paths straight through (fit/make_eval_fn open PackedDatasets).
+        val = cfg.data.val_list or None
+        if val is not None and not is_pack(val):
+            raise SystemExit(
+                "--train-list is a .fvtpack but --val-list is not; pack "
+                "both splits (cli.prepare --pack) or neither")
+        return cfg.data.train_list, val, None
     cidx = (ucf101.load_class_index(args.class_index)
             if args.class_index else None)
     num_tags = None

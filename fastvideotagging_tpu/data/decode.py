@@ -185,6 +185,39 @@ class SequentialReader:
         return out
 
 
+def iter_frame_chunks(path: str, chunk_size: int = 256):
+    """Yield successive (K, H, W, 3) uint8 RGB chunks in ONE forward pass.
+
+    The decode-once writer's memory-bounded read path (data/packed.py):
+    a long-form video never needs more than ``chunk_size`` frames resident.
+    Stops at end of stream (same boundary semantics as ``read_all_frames``);
+    raises DecodeError if not a single frame decodes.
+    """
+    _require_cv2()
+    cap = cv2.VideoCapture(path)
+    got_any = False
+    try:
+        if not cap.isOpened():
+            raise DecodeError(f"cannot open video: {path}")
+        buf: list[np.ndarray] = []
+        while True:
+            ok, frame = cap.read()
+            if not ok or frame is None:
+                break
+            buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if len(buf) == chunk_size:
+                got_any = True
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            got_any = True
+            yield np.stack(buf)
+        if not got_any:
+            raise DecodeError(f"no decodable frames in: {path}")
+    finally:
+        cap.release()
+
+
 def read_all_frames(path: str, max_frames: int | None = None) -> np.ndarray:
     """Decode every frame (up to max_frames). Returns RGB uint8 (N, H, W, 3)."""
     _require_cv2()

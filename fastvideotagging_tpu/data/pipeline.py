@@ -140,6 +140,21 @@ class ClipDataset:
                     self._cache_budget >> 20, len(self._frame_cache))
         return frames
 
+    def _clip_frames(self, rec: VideoRecord, frame_idx: np.ndarray) -> np.ndarray:
+        """Frames of ``rec`` at the given indices, at ship resolution.
+
+        The single frame-access point shared by train and eval sampling —
+        PackedDataset (data/packed.py) overrides exactly this (plus
+        ``_num_frames``) to serve the decode-once mmap tier with identical
+        sampling semantics. Indices past the end clamp to the last frame
+        (``read_frames_at``'s fill policy)."""
+        video = self._cached_video(rec)
+        if video is not None:
+            frames = video[np.minimum(frame_idx, len(video) - 1)]
+        else:
+            frames = decode.read_frames_at(rec.path, frame_idx)
+        return _ensure_size(frames, self.ship_hw)
+
     def get_train(self, index: int, epoch: int) -> ClipSample:
         """One training clip; deterministic in (seed, epoch, index)."""
         s = self.cfg.sampler
@@ -151,11 +166,7 @@ class ClipDataset:
             try:
                 n = self._num_frames(rec)
                 frame_idx = sampler.sample_train_indices(n, s.clip_len, s.stride, rng)
-                video = self._cached_video(rec)
-                if video is not None:
-                    frames = video[np.minimum(frame_idx, len(video) - 1)]
-                else:
-                    frames = decode.read_frames_at(rec.path, frame_idx)
+                frames = self._clip_frames(rec, frame_idx)
                 break
             except decode.DecodeError as e:
                 log.warning("skipping undecodable %s (%s)", rec.path, e)
@@ -163,7 +174,6 @@ class ClipDataset:
                 idx += 1
                 if attempts >= min(len(self.records), 16):
                     raise
-        frames = _ensure_size(frames, self.ship_hw)
         rh, rw = self.cfg.resize_hw
         ch, cw = self.cfg.crop_hw
         top, left = sampler.random_crop_offsets(rh, rw, ch, cw, rng)
@@ -179,12 +189,7 @@ class ClipDataset:
         idx = sampler.sample_eval_indices(
             n, s.clip_len, s.stride, mode=s.eval_mode, num_clips=s.num_eval_clips
         )  # (K, T)
-        video = self._cached_video(rec)
-        if video is not None:
-            flat = video[np.minimum(idx.reshape(-1), len(video) - 1)]
-        else:
-            flat = decode.read_frames_at(rec.path, idx.reshape(-1))
-        flat = _ensure_size(flat, self.ship_hw)
+        flat = self._clip_frames(rec, idx.reshape(-1))
         k, t = idx.shape
         return flat.reshape((k, t) + flat.shape[1:]), rec
 

@@ -102,8 +102,14 @@ def evaluate(
 
 def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
                  clip_batch: int = 8):
-    """Builds the per-epoch eval hook used by train.fit."""
-    dataset = ClipDataset(val_records, cfg.data, mode="eval", num_tags=num_tags)
+    """Builds the per-epoch eval hook used by train.fit.
+
+    ``val_records``: VideoRecords or a ``.fvtpack`` path (decode-once tier).
+    """
+    from fastvideotagging_tpu.data.packed import open_dataset
+
+    dataset = open_dataset(val_records, cfg.data, mode="eval",
+                           num_tags=num_tags)
     model = model_from_config(cfg.model)
 
     def eval_fn(state, epoch):

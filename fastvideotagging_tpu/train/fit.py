@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastvideotagging_tpu.config import ExperimentConfig
-from fastvideotagging_tpu.data.pipeline import ClipDataset, device_prefetch, train_batches
+from fastvideotagging_tpu.data.packed import open_dataset
+from fastvideotagging_tpu.data.pipeline import device_prefetch, train_batches
 from fastvideotagging_tpu.models import model_from_config
 from fastvideotagging_tpu.parallel import batch_sharding, make_mesh
 from fastvideotagging_tpu.train import lr as lr_lib
@@ -63,8 +64,10 @@ def fit(
         )
     num_tags = num_tags or (m_cfg.num_classes if m_cfg.multilabel else None)
 
-    dataset = ClipDataset(train_records, d_cfg, mode="train", num_tags=num_tags,
-                          seed=t_cfg.seed)
+    # train_records: a list of VideoRecords (streaming decode) or a
+    # ``.fvtpack`` path (decode-once mmap tier, data/packed.py).
+    dataset = open_dataset(train_records, d_cfg, mode="train",
+                           num_tags=num_tags, seed=t_cfg.seed)
     if len(dataset) < t_cfg.batch_size:
         # train_batches with drop_last would yield zero batches per epoch
         # while still paying full decode cost — fail loudly instead.

@@ -1,0 +1,172 @@
+"""Packed decode-once tier (data/packed.py): golden pixel parity with the
+streaming loader, bit-identical batches, fault policy, fit() integration.
+
+The contract (VERDICT r2 item 3 / SURVEY.md §3.2 N3): a pack stores exactly
+the pixels the streaming pipeline would ship (decode -> spec bilinear resize,
+uint8), and PackedDataset under the same (seed, epoch, index) produces
+bit-identical batches — so training from a pack is a pure IO optimization.
+"""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from fastvideotagging_tpu.config import ClipSamplerConfig, DataConfig
+from fastvideotagging_tpu.data import decode
+from fastvideotagging_tpu.data.packed import (
+    MAGIC,
+    Pack,
+    PackedDataset,
+    is_pack,
+    open_dataset,
+    write_pack,
+)
+from fastvideotagging_tpu.data.pipeline import (
+    ClipDataset,
+    _ensure_size,
+    train_batches,
+)
+from fastvideotagging_tpu.data.ucf101 import VideoRecord, load_video_list
+
+CFG = DataConfig(
+    resize_hw=(40, 56),
+    crop_hw=(32, 32),
+    sampler=ClipSamplerConfig(clip_len=4, stride=2),
+    num_workers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def pack_env(tmp_path_factory):
+    """(records, pack_path) over the session's synthetic videos."""
+    from fastvideotagging_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("packsrc")
+    list_path = synthetic.make_dataset(
+        str(root), num_classes=3, videos_per_class=2, num_frames=24,
+        height=48, width=64,
+    )
+    records = load_video_list(list_path, root=str(root))
+    pack_path = str(tmp_path_factory.mktemp("pack") / "train.fvtpack")
+    summary = write_pack(records, pack_path, CFG.resize_hw, root=str(root))
+    assert summary["videos"] == len(records) and summary["skipped"] == 0
+    return records, pack_path
+
+
+class TestPackFile:
+    def test_is_pack(self):
+        assert is_pack("x/train.fvtpack")
+        assert not is_pack("x/list.txt")
+        assert not is_pack([VideoRecord("a", 0)])
+
+    def test_header_and_index(self, pack_env):
+        records, pack_path = pack_env
+        with open(pack_path, "rb") as f:
+            assert f.read(8) == MAGIC
+            (off,) = struct.unpack("<Q", f.read(8))
+            f.seek(off)
+            index = json.loads(f.read().decode())
+        assert len(index["videos"]) == len(records)
+        assert (index["height"], index["width"]) == CFG.resize_hw
+        # offsets are contiguous and frame-aligned
+        fb = index["height"] * index["width"] * 3
+        pos = 0
+        for e in index["videos"]:
+            assert e["offset"] == pos
+            pos += e["frames"] * fb
+
+    def test_golden_pixels_match_streaming_decode(self, pack_env):
+        """Packed bytes == decode-all -> spec resize, per video, exactly."""
+        records, pack_path = pack_env
+        pack = Pack(pack_path)
+        for i, rec in enumerate(records):
+            want = _ensure_size(decode.read_all_frames(rec.path), CFG.resize_hw)
+            np.testing.assert_array_equal(np.asarray(pack.video_view(i)), want)
+
+    def test_gather_clamps_past_end(self, pack_env):
+        _, pack_path = pack_env
+        pack = Pack(pack_path)
+        n = pack.entries[0]["frames"]
+        got = pack.gather(0, np.array([0, n - 1, n + 5]))
+        np.testing.assert_array_equal(got[1], got[2])
+
+    def test_records_roundtrip(self, pack_env):
+        records, pack_path = pack_env
+        got = Pack(pack_path).records()
+        assert [r.label for r in got] == [r.label for r in records]
+        assert [os.path.basename(r.path) for r in got] == [
+            os.path.basename(r.path) for r in records]
+
+    def test_skips_undecodable(self, pack_env, tmp_path):
+        records, _ = pack_env
+        bad = tmp_path / "bad.mp4"
+        bad.write_bytes(b"not a video at all")
+        mixed = [records[0], VideoRecord(str(bad), 9), records[1]]
+        out = str(tmp_path / "mixed.fvtpack")
+        summary = write_pack(mixed, out, CFG.resize_hw)
+        assert summary["videos"] == 2 and summary["skipped"] == 1
+        pack = Pack(out)
+        # data region stayed contiguous despite the mid-stream skip
+        want = _ensure_size(decode.read_all_frames(records[1].path),
+                            CFG.resize_hw)
+        np.testing.assert_array_equal(np.asarray(pack.video_view(1)), want)
+
+
+class TestPackedDataset:
+    def test_geometry_mismatch_raises(self, pack_env):
+        _, pack_path = pack_env
+        with pytest.raises(ValueError, match="pack geometry"):
+            PackedDataset(pack_path, DataConfig(resize_hw=(64, 64)))
+
+    def test_train_batches_bit_identical_to_streaming(self, pack_env):
+        """Same (seed, epoch, index) -> byte-for-byte the same batches."""
+        records, pack_path = pack_env
+        stream = ClipDataset(records, CFG, mode="train", seed=7)
+        packed = PackedDataset(pack_path, CFG, mode="train", seed=7)
+        for epoch in (0, 1):
+            got = list(train_batches(packed, 2, epoch, num_workers=2))
+            want = list(train_batches(stream, 2, epoch, num_workers=2))
+            assert len(got) == len(want) > 0
+            for g, w in zip(got, want):
+                assert g.keys() == w.keys()
+                for k in w:
+                    np.testing.assert_array_equal(g[k], w[k])
+
+    def test_eval_clips_bit_identical(self, pack_env):
+        records, pack_path = pack_env
+        stream = ClipDataset(records, CFG, mode="eval")
+        packed = PackedDataset(pack_path, CFG, mode="eval")
+        for i in range(len(records)):
+            g, grec = packed.get_eval_clips(i)
+            w, wrec = stream.get_eval_clips(i)
+            np.testing.assert_array_equal(g, w)
+            assert grec.label == wrec.label
+
+    def test_open_dataset_dispatch(self, pack_env):
+        records, pack_path = pack_env
+        assert isinstance(open_dataset(pack_path, CFG), PackedDataset)
+        ds = open_dataset(records, CFG)
+        assert isinstance(ds, ClipDataset) and not isinstance(ds, PackedDataset)
+
+
+class TestFitFromPack:
+    def test_fit_consumes_pack_path(self, pack_env, tmp_path):
+        """fit() trains end to end straight from a .fvtpack path."""
+        from fastvideotagging_tpu.config import (
+            ExperimentConfig, ModelConfig, ParallelConfig, TrainConfig,
+        )
+        from fastvideotagging_tpu.train.fit import fit
+
+        records, pack_path = pack_env
+        cfg = ExperimentConfig(
+            model=ModelConfig(name="tiny3d", num_classes=3, dropout=0.0),
+            data=CFG,
+            train=TrainConfig(batch_size=2, num_epochs=1, log_every=1,
+                              checkpoint_dir=""),
+            parallel=ParallelConfig(data_parallel=1, model_parallel=1),
+        )
+        state = fit(cfg, pack_path)
+        assert int(state.step) == len(records) // 2
