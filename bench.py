@@ -272,13 +272,21 @@ def main():
                      "int8 inference B=128")
     frames_per_sec = _safe(lambda: bench_preprocess(batch_size), -1.0,
                            "preprocess")
-    # [B:9] Kinetics config: R(2+1)D-34 at 32x224x224. Batch sized to fit
-    # v5e HBM (16 GB); tracked as a secondary detail metric per VERDICT r1.
-    kinetics_clips = _safe(
-        lambda: bench_train_step(batch_size=8, clip_len=32, crop=224,
-                                 source_hw=(256, 342),
-                                 model_name="r2plus1d_34")[0],
-        -1.0, "kinetics r2plus1d_34 train step")
+    # [B:9] Kinetics config: R(2+1)D-34 AND P3D-63 at 32x224x224 (both named
+    # in BASELINE.json:9). Batch sized to fit v5e HBM (16 GB); full detail
+    # kept (clips/s + roofline fraction) per VERDICT r2 items 2/6.
+    def _kinetics_row(model_name):
+        clips, _tf, _fl, sec, roof = bench_train_step(
+            batch_size=8, clip_len=32, crop=224, source_hw=(256, 342),
+            model_name=model_name)
+        return clips, (roof / sec if sec > 0 else -1.0)
+
+    kinetics_clips, kinetics_roof = _safe(
+        lambda: _kinetics_row("r2plus1d_34"), (-1.0, -1.0),
+        "kinetics r2plus1d_34 train step")
+    p3d_clips, p3d_roof = _safe(
+        lambda: _kinetics_row("p3d_63"), (-1.0, -1.0),
+        "kinetics p3d_63 train step")
     # BN-lite (norm='frozen') fine-tune variant of the headline config.
     frozen_clips = _safe(
         lambda: bench_train_step(batch_size, norm="frozen")[0],
@@ -287,9 +295,11 @@ def main():
     def _loader_row():
         from fastvideotagging_tpu.cli.bench_loader import measure
 
-        return measure(videos=8, epochs=2)["decode_clips_per_sec"]
+        m = measure(videos=8, epochs=2)
+        return m["decode_clips_per_sec"], m["packed_clips_per_sec"]
 
-    loader_clips = _safe(_loader_row, -1.0, "host loader")
+    loader_clips, packed_clips = _safe(_loader_row, (-1.0, -1.0),
+                                       "host loader")
 
     peak = _detect_peak_tflops()
     peak_frac = achieved_tflops / peak if peak else 0.0
@@ -326,8 +336,12 @@ def main():
             "r2plus1d18_tpu_variant_roofline_fraction": round(
                 tpu_roof / tpu_sec, 4) if tpu_sec > 0 else -1.0,
             "kinetics_r2plus1d34_clips_per_sec": round(kinetics_clips, 2),
+            "kinetics_r2plus1d34_roofline_fraction": round(kinetics_roof, 4),
+            "p3d63_kinetics_clips_per_sec": round(p3d_clips, 2),
+            "p3d63_kinetics_roofline_fraction": round(p3d_roof, 4),
             "frozen_bn_clips_per_sec": round(frozen_clips, 2),
             "host_decode_clips_per_sec": round(loader_clips, 2),
+            "packed_loader_clips_per_sec": round(packed_clips, 2),
             "batch_size": batch_size,
             "device": jax.devices()[0].device_kind,
         },

@@ -6,6 +6,11 @@ argument), ``quantize_for`` produces a qpack from calibration clips, and
 ``make_int8_apply`` is the one-shot convenience doing both. The apply_fn
 plugs straight into ``evaluate(..., apply_fn=...)`` /
 ``evaluate_video_scores`` (pass the qpack as the ``variables`` argument).
+
+Round 3: coverage is driven by the declarative architecture specs
+(ops/arch_spec.spec_for) — the r2plus1d family, P3D-63/131/199 and C3D all
+share one engine; the per-model mixed-precision bf16 tail comes from the
+spec (``default_float_blocks``).
 """
 
 from __future__ import annotations
@@ -13,8 +18,11 @@ from __future__ import annotations
 import jax
 
 from fastvideotagging_tpu.models import heads
+from fastvideotagging_tpu.ops.arch_spec import COVERED_MODELS, spec_for
 
-# zoo name -> residual stage depths (the engine's layer walk)
+# Round-2 compatibility: the stage depths of the r2plus1d family (a few
+# call sites and tests key on this name; coverage itself now lives in
+# arch_spec.spec_for).
 STAGE_BLOCKS = {
     "r2plus1d_18": (2, 2, 2, 2),
     "r2plus1d_18_tpu": (2, 2, 2, 2),
@@ -24,18 +32,12 @@ STAGE_BLOCKS = {
 
 
 def _resolved(model_name: str, float_blocks):
-    if model_name not in STAGE_BLOCKS:
-        raise KeyError(
-            f"int8 serving engine covers {sorted(STAGE_BLOCKS)}; "
-            f"got {model_name!r}")
-    stage_blocks = STAGE_BLOCKS[model_name]
-    if float_blocks is None:
-        # default mixed-precision tail: ALL of stage 4 in bf16 (measured:
-        # the cancellation-amplifying blocks; ops/int8_infer docstring)
-        fb = tuple(f"stage4_block{b}" for b in range(stage_blocks[3]))
-    else:
-        fb = tuple(float_blocks)
-    return stage_blocks, fb
+    """-> (ArchSpec, float_blocks tuple); raises the informative coverage
+    KeyError for unsupported zoo names."""
+    spec = spec_for(model_name)  # raises KeyError with the covered list
+    fb = (spec.default_float_blocks if float_blocks is None
+          else tuple(float_blocks))
+    return spec, fb
 
 
 def make_int8_engine(model_name: str, multilabel: bool = False,
@@ -46,12 +48,11 @@ def make_int8_engine(model_name: str, multilabel: bool = False,
     (re)calibrations — rebuilding the jitted lambda per qpack would miss
     jax's jit cache and recompile the whole backbone each time (the
     pitfall evaluate._make_apply documents)."""
-    from fastvideotagging_tpu.ops.int8_infer import r2plus1d_int8_infer
+    from fastvideotagging_tpu.ops.int8_infer import int8_infer
 
-    stage_blocks, fb = _resolved(model_name, float_blocks)
+    spec, fb = _resolved(model_name, float_blocks)
     return jax.jit(lambda q, x: heads.predict_scores(
-        r2plus1d_int8_infer(q, x, stage_blocks, float_blocks=fb,
-                            dynamic=dynamic),
+        int8_infer(q, x, spec, float_blocks=fb, dynamic=dynamic),
         multilabel))
 
 
@@ -64,9 +65,9 @@ def quantize_for(model_name: str, variables: dict, calib_clips):
         calibrate, quantize_variables,
     )
 
-    stage_blocks, _ = _resolved(model_name, None)
-    scales = calibrate(variables, calib_clips, stage_blocks)
-    return quantize_variables(variables, scales, stage_blocks)
+    spec, _ = _resolved(model_name, None)
+    scales = calibrate(variables, calib_clips, spec=spec)
+    return quantize_variables(variables, scales, spec=spec)
 
 
 def make_int8_apply(model_name: str, variables: dict, calib_clips,

@@ -37,11 +37,11 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict, qpack=None):
     multilabel = cfg.model.multilabel
     if qpack is not None:
         from fastvideotagging_tpu.evaluation.quantized import _resolved
-        from fastvideotagging_tpu.ops.int8_infer import r2plus1d_int8_infer
+        from fastvideotagging_tpu.ops.int8_infer import int8_infer
 
         # _resolved raises the informative coverage error (not a bare
         # KeyError) for models the int8 engine does not cover (ADVICE r2)
-        stage_blocks, tail = _resolved(cfg.model.name, None)
+        arch, tail = _resolved(cfg.model.name, None)
 
     def scores(frames_u8):
         n = frames_u8.shape[0]
@@ -53,8 +53,7 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict, qpack=None):
             out_dtype_name=cfg.model.compute_dtype,
         )
         if qpack is not None:
-            logits = r2plus1d_int8_infer(qpack, clips, stage_blocks,
-                                         float_blocks=tail)
+            logits = int8_infer(qpack, clips, arch, float_blocks=tail)
         else:
             logits = model.apply(variables, clips, train=False)
         return heads.predict_scores(logits, multilabel)
@@ -73,7 +72,7 @@ def quantize_for_serving(cfg: ExperimentConfig, variables: dict,
     rh, rw = d.resize_hw
     ch, cw = d.crop_hw
     top, left = (rh - ch) // 2, (rw - cw) // 2
-    stage_blocks, _ = _resolved(cfg.model.name, None)
+    arch, _ = _resolved(cfg.model.name, None)
     calib = []
     for frames in calib_frames_u8:
         n = frames.shape[0]
@@ -84,8 +83,8 @@ def quantize_for_serving(cfg: ExperimentConfig, variables: dict,
             jnp.asarray(d.mean, jnp.float32), jnp.asarray(d.std, jnp.float32),
             resize_hw=d.resize_hw, crop_hw=d.crop_hw,
             out_dtype_name=cfg.model.compute_dtype))
-    scales = calibrate(variables, calib, stage_blocks)
-    return quantize_variables(variables, scales, stage_blocks)
+    scales = calibrate(variables, calib, spec=arch)
+    return quantize_variables(variables, scales, spec=arch)
 
 
 def export_serving(cfg: ExperimentConfig, variables: dict, clip_batch: int,

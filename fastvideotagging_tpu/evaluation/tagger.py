@@ -68,12 +68,13 @@ class Tagger:
         self._qpack = None
         if int8:
             from fastvideotagging_tpu.evaluation.quantized import (
-                STAGE_BLOCKS, make_int8_engine,
+                make_int8_engine,
             )
+            from fastvideotagging_tpu.ops.arch_spec import COVERED_MODELS
 
-            if cfg.model.name not in STAGE_BLOCKS:
+            if cfg.model.name not in COVERED_MODELS:
                 raise ValueError(
-                    f"int8 tagging covers {sorted(STAGE_BLOCKS)}; "
+                    f"int8 tagging covers {sorted(COVERED_MODELS)}; "
                     f"got {cfg.model.name!r}")
             self._int8_apply = make_int8_engine(
                 cfg.model.name, multilabel=cfg.model.multilabel)

@@ -16,6 +16,13 @@ currently beats the per-block custom-call path (each pallas_call pays layout
 / pipeline-boundary costs that outweigh keeping the mid tensor in VMEM).
 Kept as the correctness-tested foundation for a future whole-stage kernel;
 the production serving path remains jit(model.apply).
+
+NOTE (round 3): the production serving/int8 walks are spec-driven
+(ops/arch_spec.py — the single source of truth for block structure); this
+module intentionally keeps its own hand walk because its whole point is
+the (2+1)D-pair fusion experiment, and it is parity-tested against
+model.apply (tests/test_fused_infer.py). Structure changes land in
+arch_spec first; this file is measured-dead-end evidence, not a surface.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""int8 post-training-quantized inference engine for R(2+1)D (serving).
+"""int8 post-training-quantized inference engine (serving), spec-driven.
 
 TPU MXUs run int8 matmuls at 2x the bf16 rate (v5e: 394 vs 197 T/s) and
 int8 activations halve HBM traffic. Measured on v5e (2026-08-16, sound
@@ -6,6 +6,14 @@ carry-through protocol): stage-1 spatial conv 1.33 ms int8+requant vs
 4.04 ms bf16 — 3x at the op level, ~1.4x end to end. The reference stack
 has no quantized path at all; this is a TPU-native addition on top of the
 C17 serving surface.
+
+Round 3: the layer walk is no longer hand-written per architecture — every
+engine here (bf16 reference, calibration, quantizer, int8 forward) is an
+interpreter over the declarative ``ops/arch_spec.ArchSpec`` IR, the single
+source of truth for block structure. R(2+1)D-18/34 (+ `_tpu`), P3D-63/131/
+199 and C3D all quantize through the same code; numerics for r2plus1d are
+identical to the round-2 engine (same walk order, same site names, same
+epilogue math — the on-chip accuracy artifacts remain valid).
 
 Scheme — SmoothQuant-style static weight smoothing + per-tensor activation
 scales, every choice fixed by measurement on the hard 50-class motion
@@ -24,14 +32,15 @@ parity at 1.28x serving speedup, INT8_SERVING.json):
     DYNAMIC in-graph amax (`dynamic=True`: no calibration drift, no
     clipping, but the amax pass costs ~35%% throughput);
   * each conv runs int8 x int8 -> int32 on the MXU; the epilogue
-    (dequant * w_scale[c] * s, folded BatchNorm affine, ReLU) is one fused
-    multiply-add over the int32 accumulator;
+    (dequant * w_scale[c] * s, folded BatchNorm affine or conv bias, ReLU)
+    is one fused multiply-add over the int32 accumulator;
   * residual adds, pool and head run in f32;
   * mixed precision: ``float_blocks`` run in bf16 with exactly-dequantized
     weights (the late 512-channel blocks sit behind heavy main-path/
     residual cancellation — mean |block output| is ~20x smaller than its
     branches — which amplifies ANY upstream noise; measured per-site error
-    jumps 0.02 -> 0.56 across that add regardless of scale scheme).
+    jumps 0.02 -> 0.56 across that add regardless of scale scheme). Each
+    ArchSpec carries its measured default tail.
 
 Measured failure register (per-site attribution via debug_sites):
   * static per-TENSOR activation scales: stage-4 channel disparity lands on
@@ -42,9 +51,9 @@ Measured failure register (per-site attribution via debug_sites):
   * static smoothing alone: site error uniform ~3% (absmax rounding floor),
     top-1 85-93% depending on how many blocks stay bf16.
 
-Parity contract: same layer walk as ops/fused_infer.r2plus1d_fused_infer
-(the params-as-data serving engine), which is itself parity-tested against
-model.apply(train=False). Accuracy gate: benchmarks/INT8_SERVING.json,
+Parity contract: the spec walk (record=identity) is parity-tested against
+``model.apply(train=False)`` for every covered zoo name
+(tests/test_arch_spec.py). Accuracy gate: benchmarks/INT8_SERVING.json,
 thresholds in tests/test_int8_infer.py.
 """
 
@@ -57,6 +66,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from fastvideotagging_tpu.ops.arch_spec import (
+    ArchSpec,
+    Block,
+    Conv,
+    MaxPool,
+    Sum,
+    conv_id,
+    iter_convs,
+    r2plus1d_spec,
+)
 from fastvideotagging_tpu.ops.fused_block import fold_bn
 
 
@@ -90,9 +109,15 @@ def _dyn_quant(x, inv_f):
 
 
 # ---------------------------------------------------------------------------
-# Calibration: per-channel absmax of every conv-input site through the bf16
-# reference walk. Site names are stable keys shared with the engine.
+# The bf16 reference walk: ONE interpreter over the ArchSpec, shared by
+# calibration (record=absmax) and the reference engine (record=identity).
 # ---------------------------------------------------------------------------
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
 
 
 def _bf16_conv(x, kernel, strides):
@@ -109,65 +134,104 @@ def _affine(x, scale, bias, relu=False):
     return y.astype(x.dtype)
 
 
-def _bn(p, s, name):
+def _bn_of(variables, path):
     # models.layers.Norm wraps the flax BatchNorm as child "BatchNorm_0"
-    return fold_bn(p[name]["BatchNorm_0"]["scale"],
-                   p[name]["BatchNorm_0"]["bias"],
-                   s[name]["BatchNorm_0"]["mean"],
-                   s[name]["BatchNorm_0"]["var"])
+    p = _get(variables["params"], path)["BatchNorm_0"]
+    s = _get(variables["batch_stats"], path)["BatchNorm_0"]
+    return fold_bn(p["scale"], p["bias"], s["mean"], s["var"])
 
 
-def _walk(variables, x, stage_blocks, record):
-    """Shared bf16 layer walk; `record(site, tensor)` sees every conv input
-    and must return the tensor to feed forward. With record=lambda n, t: t
-    this IS the reference engine."""
-    p, s = variables["params"], variables["batch_stats"]
-    y = record("input", x.astype(jnp.bfloat16))
-    y = _bf16_conv(y, p["stem_spatial"]["kernel"], (1, 2, 2))
-    y = _affine(y, *_bn(p, s, "stem_bn1"), relu=True)
-    y = record("stem_mid", y)
-    y = _bf16_conv(y, p["stem_temporal"]["kernel"], (1, 1, 1))
-    y = _affine(y, *_bn(p, s, "stem_bn2"), relu=True)
+def _maxpool(y, node):
+    return lax.reduce_window(
+        y, jnp.asarray(-jnp.inf, y.dtype), lax.max,
+        (1,) + node.window + (1,), (1,) + node.strides + (1,),
+        node.padding)
 
-    for stage, num_blocks in enumerate(stage_blocks):
-        for block in range(num_blocks):
-            stride = 2 if (stage > 0 and block == 0) else 1
-            key = f"stage{stage + 1}_block{block}"
-            bp, bs = p[key], s[key]
-            y = record(f"{key}.in", y)
+
+def _head(spec, x, dense_params):
+    """Shared head: gap -> f32 matmul chain; flatten -> model-dtype MLP."""
+    if spec.head_pool == "gap":
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+    else:
+        y = x.reshape((x.shape[0], -1))
+    for i, d in enumerate(spec.head):
+        last = i == len(spec.head) - 1
+        kernel, bias = dense_params[i]
+        if last or spec.head_pool == "gap":
+            y = y.astype(jnp.float32) @ kernel.astype(jnp.float32) + bias
+        else:
+            y = y.astype(jnp.bfloat16) @ kernel.astype(jnp.bfloat16) + bias
+        if d.relu:
+            y = jnp.maximum(y, 0.0)
+    return y.astype(jnp.float32)
+
+
+def spec_walk(spec: ArchSpec, variables, x, record):
+    """bf16 eval-mode forward over the spec; ``record(site, tensor)`` sees
+    every conv input and must return the tensor to feed forward. With
+    record=lambda n, t: t this IS the bf16 reference engine."""
+    p = variables["params"]
+
+    def conv(y, node: Conv):
+        y = record(node.site, y)
+        z = _bf16_conv(y, _get(p, node.kernel), node.strides)
+        if node.bn is not None:
+            z = _affine(z, *_bn_of(variables, node.bn), relu=node.relu)
+        else:
+            bias = (_get(p, node.bias).astype(jnp.float32)
+                    if node.bias is not None else 0.0)
+            z = _affine(z, 1.0, bias, relu=node.relu)
+        return z
+
+    def chain(y, nodes):
+        for node in nodes:
+            if isinstance(node, Conv):
+                y = conv(y, node)
+            elif isinstance(node, Sum):
+                a = y
+                for c in node.left:
+                    a = conv(a, c)
+                b = y if node.right_from == "input" else a
+                for c in node.right:
+                    b = conv(b, c)
+                y = a + b
+            else:
+                raise TypeError(node)
+        return y
+
+    y = x.astype(jnp.bfloat16)
+    for node in spec.nodes:
+        if isinstance(node, Conv):
+            y = conv(y, node)
+        elif isinstance(node, MaxPool):
+            y = _maxpool(y, node)
+        elif isinstance(node, Block):
             residual = y
-            z = y
-            for ci, (cname, st) in enumerate((("conv1", stride),
-                                              ("conv2", 1))):
-                cp, cs = bp[cname], bs[cname]
-                z = _bf16_conv(z, cp["spatial"]["kernel"], (1, st, st))
-                z = _affine(z, *_bn(cp, cs, "bn_mid"), relu=True)
-                z = record(f"{key}.{cname}.mid", z)
-                z = _bf16_conv(z, cp["temporal"]["kernel"], (st, 1, 1))
-                z = _affine(z, *_bn(bp, bs, f"bn{ci + 1}"),
-                            relu=(ci == 0))
-                if ci == 0:
-                    z = record(f"{key}.conv2.in", z)
-            if "downsample" in bp:
-                residual = _bf16_conv(residual, bp["downsample"]["kernel"],
-                                      (stride, stride, stride))
-                residual = _affine(residual, *_bn(bp, bs, "bn_down"))
+            z = chain(y, node.main)
+            if node.down is not None:
+                residual = conv(residual, node.down)
             y = jnp.maximum(z.astype(jnp.float32)
                             + residual.astype(jnp.float32),
                             0.0).astype(jnp.bfloat16)
+        else:
+            raise TypeError(node)
+    return _head(spec, y, [( _get(p, d.param)["kernel"],
+                             _get(p, d.param)["bias"]) for d in spec.head])
 
-    pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2, 3))
-    logits = pooled @ p["fc"]["kernel"] + p["fc"]["bias"]
-    return logits.astype(jnp.float32)
+
+def _walk(variables, x, stage_blocks, record):
+    """Round-2 compatibility wrapper: the r2plus1d walk via the spec."""
+    return spec_walk(r2plus1d_spec(tuple(stage_blocks)), variables, x,
+                     record)
 
 
-@functools.partial(jax.jit, static_argnames=("stage_blocks",))
-def _calibrate_sites(variables, x, stage_blocks):
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _calibrate_sites(variables, x, spec: ArchSpec):
     """One jitted calibration pass -> {site: (C,) f32 absmax}.
 
     Module-level so the compile is shared across calibrate() calls:
     Tagger's per-video self-calibration (evaluation/tagger.py) re-enters
-    here with the same shapes/structure and hits the jit cache instead of
+    here with the same shapes/spec and hits the jit cache instead of
     recompiling the full bf16 walk per video (ADVICE r2, medium)."""
     sites = {}
 
@@ -176,11 +240,11 @@ def _calibrate_sites(variables, x, stage_blocks):
         sites[name] = jnp.max(tf, axis=tuple(range(tf.ndim - 1)))
         return t
 
-    _walk(variables, x, stage_blocks, record)
+    spec_walk(spec, variables, x, record)
     return sites
 
 
-def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2)):
+def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2), spec=None):
     """-> {site: (C,) f32 per-channel activation absmax/127} over batches.
 
     Only used to derive the static smoothing factors (the activation
@@ -188,12 +252,14 @@ def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2)):
     handful of batches suffices.
 
     `batches`: iterable of (B, T, H, W, 3) preprocessed clips (the same
-    tensors the bf16 model consumes)."""
+    tensors the bf16 model consumes). ``spec`` selects the architecture
+    (default: r2plus1d with ``stage_blocks``, round-2 signature)."""
+    spec = spec or r2plus1d_spec(tuple(stage_blocks))
     maxima: dict[str, np.ndarray] = {}
 
     for x in batches:
         sites = jax.device_get(
-            _calibrate_sites(variables, jnp.asarray(x), tuple(stage_blocks)))
+            _calibrate_sites(variables, jnp.asarray(x), spec))
         for k, v in sites.items():
             v = np.asarray(v, np.float64)
             maxima[k] = v if k not in maxima else np.maximum(maxima[k], v)
@@ -235,38 +301,37 @@ def _smooth_factors(act_absmax, consumers):
 
 
 def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
-                       static_margin: float = 2.0):
-    """-> qpack: int8 weights + epilogue constants, params-as-data.
+                       static_margin: float = 2.0, spec=None):
+    """variables + calibration -> qpack consumed by ``int8_infer``.
 
-    ``act_scales``: calibrate()'s per-channel absmax/127 vectors, used to
-    derive the smoothing factors folded into each kernel.
-
-    ``static_margin``: headroom multiplier on the static per-site scalar
+    ``static_margin``: headroom multiplier on the calibrated static
     scales (the fast fused-requant path clips anything beyond the
     calibrated absmax; eval data routinely exceeds it — measured top-1
     0.875 / 0.965 / 0.97 at margin 1.0 / 1.5 / 2.0 vs bf16 0.97, so the
     one-bit headroom of 2.0 restores full parity). Irrelevant to the
-    dynamic mode."""
-    p, s = variables["params"], variables["batch_stats"]
+    dynamic mode.
 
-    consumers = {"input": [p["stem_spatial"]["kernel"]],
-                 "stem_mid": [p["stem_temporal"]["kernel"]]}
-    for stage, num_blocks in enumerate(stage_blocks):
-        for block in range(num_blocks):
-            key = f"stage{stage + 1}_block{block}"
-            bp = p[key]
-            ins = [bp["conv1"]["spatial"]["kernel"]]
-            if "downsample" in bp:
-                ins.append(bp["downsample"]["kernel"])
-            consumers[f"{key}.in"] = ins
-            consumers[f"{key}.conv1.mid"] = [bp["conv1"]["temporal"]["kernel"]]
-            consumers[f"{key}.conv2.in"] = [bp["conv2"]["spatial"]["kernel"]]
-            consumers[f"{key}.conv2.mid"] = [bp["conv2"]["temporal"]["kernel"]]
+    qpack layout (round 3, spec-driven): ``{"convs": {conv_id: pack},
+    "inv_f": {site: (C,)}, "s_static": {site: scalar}, "head": [...]}``.
+    """
+    spec = spec or r2plus1d_spec(tuple(stage_blocks))
+    p = variables["params"]
+
+    consumers: dict[str, list] = {}
+    for _key, c in iter_convs(spec):
+        consumers.setdefault(c.site, []).append(_get(p, c.kernel))
     factors = _smooth_factors(act_scales, consumers)
 
-    def conv_pack(kernel, bn_scale, bn_bias, in_site):
-        k = jnp.asarray(kernel, jnp.float32)
-        f_in = jnp.asarray(factors[in_site], jnp.float32)  # (Cin,)
+    def conv_pack(node: Conv):
+        k = jnp.asarray(_get(p, node.kernel), jnp.float32)
+        if node.bn is not None:
+            bn_scale, bn_bias = _bn_of(variables, node.bn)
+        else:
+            bn_scale = jnp.ones((k.shape[-1],), jnp.float32)
+            bn_bias = (jnp.asarray(_get(p, node.bias), jnp.float32)
+                       if node.bias is not None
+                       else jnp.zeros((k.shape[-1],), jnp.float32))
+        f_in = jnp.asarray(factors[node.site], jnp.float32)  # (Cin,)
         qw, w_scale = _quant_w(k * f_in[:, None])
         # the UNfolded bf16 kernel for float blocks is recovered as
         # w * w_scale / f_in (deq_w in the engine)
@@ -280,35 +345,16 @@ def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
         float(np.max(np.asarray(act_scales[site], np.float64) * 127.0
                      / factors[site]) / 127.0) * static_margin)
         for site in factors}
-    out = {"inv_f": {k: jnp.asarray(1.0 / v, jnp.float32)
-                     for k, v in factors.items()},
-           "s_static": s_static,
-           "stage_blocks": tuple(stage_blocks)}
-    out["stem_spatial"] = conv_pack(p["stem_spatial"]["kernel"],
-                                    *_bn(p, s, "stem_bn1"), "input")
-    out["stem_temporal"] = conv_pack(p["stem_temporal"]["kernel"],
-                                     *_bn(p, s, "stem_bn2"), "stem_mid")
-    for stage, num_blocks in enumerate(stage_blocks):
-        for block in range(num_blocks):
-            key = f"stage{stage + 1}_block{block}"
-            bp, bs = p[key], s[key]
-            blk = {}
-            for ci, cname in enumerate(("conv1", "conv2")):
-                cp, cs = bp[cname], bs[cname]
-                in_site = f"{key}.in" if ci == 0 else f"{key}.conv2.in"
-                blk[f"{cname}_spatial"] = conv_pack(
-                    cp["spatial"]["kernel"], *_bn(cp, cs, "bn_mid"), in_site)
-                blk[f"{cname}_temporal"] = conv_pack(
-                    cp["temporal"]["kernel"], *_bn(bp, bs, f"bn{ci + 1}"),
-                    f"{key}.{cname}.mid")
-            if "downsample" in bp:
-                blk["downsample"] = conv_pack(
-                    bp["downsample"]["kernel"], *_bn(bp, bs, "bn_down"),
-                    f"{key}.in")
-            out[key] = blk
-    out["fc"] = {"kernel": jnp.asarray(p["fc"]["kernel"], jnp.float32),
-                 "bias": jnp.asarray(p["fc"]["bias"], jnp.float32)}
-    return out
+    return {
+        "inv_f": {k: jnp.asarray(1.0 / v, jnp.float32)
+                  for k, v in factors.items()},
+        "s_static": s_static,
+        "convs": {conv_id(c): conv_pack(c) for _k, c in iter_convs(spec)},
+        "head": [{"kernel": jnp.asarray(_get(p, d.param)["kernel"],
+                                        jnp.float32),
+                  "bias": jnp.asarray(_get(p, d.param)["bias"], jnp.float32)}
+                 for d in spec.head],
+    }
 
 
 # Measured on the hard-benchmark model: the late blocks sit behind heavy
@@ -318,19 +364,19 @@ def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
 DEFAULT_FLOAT_BLOCKS = ("stage4_block0", "stage4_block1")
 
 
-@functools.partial(jax.jit, static_argnames=("stage_blocks", "float_blocks",
+@functools.partial(jax.jit, static_argnames=("spec", "float_blocks",
                                              "dynamic", "residual",
                                              "debug_sites"))
-def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
-                        float_blocks=DEFAULT_FLOAT_BLOCKS,
-                        dynamic: bool = False, residual: str = "dequant",
-                        debug_sites: bool = False):
-    """Quantized forward. x: (B, T, H, W, 3) preprocessed f32/bf16 clips
-    -> (B, K) f32 logits; with debug_sites=True -> (logits, {site: f32
-    reconstructed conv input}) for PTQ error attribution.
+def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
+               dynamic: bool = False, residual: str = "dequant",
+               debug_sites: bool = False):
+    """Quantized forward over any ArchSpec. x: (B, T, H, W, 3) preprocessed
+    f32/bf16 clips -> (B, K) f32 logits; with debug_sites=True -> (logits,
+    {site: f32 reconstructed conv input}) for PTQ error attribution.
 
     ``float_blocks``: blocks executed in bf16 with exactly-dequantized
-    int8 weights (mixed-precision PTQ).
+    int8 weights (mixed-precision PTQ); None -> the spec's measured
+    default tail.
 
     ``dynamic``: per-tensor activation scales computed in-graph per batch
     (robust to calibration drift, never clips) instead of the calibrated
@@ -344,6 +390,8 @@ def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
     its quantized form, saving a full-tensor bf16 write+read per block
     (1400 vs 1358 clips/s, top-1 parity held — INT8_SERVING.json);
     'exact' adds the unquantized input in f32 for maximum fidelity."""
+    if float_blocks is None:
+        float_blocks = spec.default_float_blocks
     inv_f = qpack["inv_f"]
     sites = {}
 
@@ -359,11 +407,12 @@ def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
             sites[site] = q.astype(jnp.float32) * s / inv_f[site]
         return q, s
 
-    def conv_q(q, s_dyn, pack, strides, relu=True, out_f32=False):
-        acc = _conv_i8(q, pack["w"], strides)
+    def conv_q(q, s_dyn, node: Conv, out_f32=False):
+        pack = qpack["convs"][conv_id(node)]
+        acc = _conv_i8(q, pack["w"], node.strides)
         y = (acc.astype(jnp.float32) * (pack["mul"] * s_dyn)
              + pack["add"])
-        if relu:
+        if node.relu:
             y = jnp.maximum(y, 0.0)
         return y if out_f32 else y.astype(jnp.bfloat16)
 
@@ -373,65 +422,96 @@ def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
         return (pack["w"].astype(jnp.float32) * pack["w_scale"]
                 / pack["f_in"][:, None]).astype(jnp.bfloat16)
 
-    def conv_f(xf, pack, strides, relu=True):
-        """bf16 conv with exactly-dequantized int8 weights + BN affine."""
-        acc = _bf16_conv(xf.astype(jnp.bfloat16), deq_w(pack), strides)
-        return _affine(acc, pack["bn_scale"], pack["bn_bias"], relu=relu)
+    def conv_f(xf, node: Conv):
+        """bf16 conv with exactly-dequantized int8 weights + affine."""
+        pack = qpack["convs"][conv_id(node)]
+        acc = _bf16_conv(xf.astype(jnp.bfloat16), deq_w(pack), node.strides)
+        return _affine(acc, pack["bn_scale"], pack["bn_bias"],
+                       relu=node.relu)
 
-    q, s_dyn = quant_site(x, "input")
-    y = conv_q(q, s_dyn, qpack["stem_spatial"], (1, 2, 2))
-    q, s_dyn = quant_site(y, "stem_mid")
-    y = conv_q(q, s_dyn, qpack["stem_temporal"], (1, 1, 1))
+    def chain_q(y, nodes, q_first=None):
+        """int8 chain; q_first short-circuits an already-quantized input
+        for the first conv. The LAST conv of a block main chain (relu
+        False) returns f32 for the residual add."""
+        for i, node in enumerate(nodes):
+            last = i == len(nodes) - 1
+            if isinstance(node, Conv):
+                if q_first is not None and i == 0:
+                    q, s_dyn = q_first
+                else:
+                    q, s_dyn = quant_site(y, node.site)
+                y = conv_q(q, s_dyn, node,
+                           out_f32=(last and not node.relu))
+            elif isinstance(node, Sum):
+                a = chain_q(y, node.left)
+                src = y if node.right_from == "input" else a
+                b = chain_q(src, node.right)
+                y = a + b
+            else:
+                raise TypeError(node)
+        return y
 
-    for stage, num_blocks in enumerate(stage_blocks):
-        for block in range(num_blocks):
-            stride = 2 if (stage > 0 and block == 0) else 1
-            key = f"stage{stage + 1}_block{block}"
-            blk = qpack[key]
-            if key not in float_blocks:
-                q_in, s_in = quant_site(y, f"{key}.in")
-                q, s_dyn = q_in, s_in
-                z = conv_q(q, s_dyn, blk["conv1_spatial"],
-                           (1, stride, stride))
-                q, s_dyn = quant_site(z, f"{key}.conv1.mid")
-                z = conv_q(q, s_dyn, blk["conv1_temporal"], (stride, 1, 1))
-                q, s_dyn = quant_site(z, f"{key}.conv2.in")
-                z = conv_q(q, s_dyn, blk["conv2_spatial"], (1, 1, 1))
-                q, s_dyn = quant_site(z, f"{key}.conv2.mid")
-                zf = conv_q(q, s_dyn, blk["conv2_temporal"], (1, 1, 1),
-                            relu=False, out_f32=True)
-                if "downsample" in blk:
-                    rf = conv_q(q_in, s_in, blk["downsample"],
-                                (stride, stride, stride),
-                                relu=False, out_f32=True)
+    def chain_f(y, nodes):
+        for node in nodes:
+            if isinstance(node, Conv):
+                y = conv_f(y, node)
+            elif isinstance(node, Sum):
+                a = chain_f(y, node.left)
+                b = chain_f(y if node.right_from == "input" else a,
+                            node.right)
+                y = a + b
+            else:
+                raise TypeError(node)
+        return y
+
+    y = x
+    for node in spec.nodes:
+        if isinstance(node, Conv):
+            q, s_dyn = quant_site(y, node.site)
+            y = conv_q(q, s_dyn, node)
+        elif isinstance(node, MaxPool):
+            y = _maxpool(y.astype(jnp.bfloat16), node)
+        elif isinstance(node, Block):
+            if node.key not in float_blocks:
+                in_site = node.main[0].site
+                q_in, s_in = quant_site(y, in_site)
+                zf = chain_q(y, node.main, q_first=(q_in, s_in))
+                if node.down is not None:
+                    rf = conv_q(q_in, s_in, node.down, out_f32=True)
                 elif residual == "dequant":
                     # reconstruct the residual from the quantized input:
                     # the block input never materializes in bf16 (saves a
                     # write+read of the full tensor per block) at the cost
                     # of site-level rounding noise on the residual path
-                    rf = q_in.astype(jnp.float32) * (s_in / inv_f[f"{key}.in"])
+                    rf = q_in.astype(jnp.float32) * (s_in / inv_f[in_site])
                 else:
                     rf = y.astype(jnp.float32)
             else:
-                z = conv_f(y, blk["conv1_spatial"], (1, stride, stride))
-                z = conv_f(z, blk["conv1_temporal"], (stride, 1, 1))
-                z = conv_f(z, blk["conv2_spatial"], (1, 1, 1))
-                zf = conv_f(z, blk["conv2_temporal"], (1, 1, 1),
-                            relu=False).astype(jnp.float32)
-                if "downsample" in blk:
-                    rf = conv_f(y, blk["downsample"],
-                                (stride, stride, stride),
-                                relu=False).astype(jnp.float32)
+                zf = chain_f(y, node.main).astype(jnp.float32)
+                if node.down is not None:
+                    rf = conv_f(y, node.down).astype(jnp.float32)
                 else:
                     rf = y.astype(jnp.float32)
             y = jnp.maximum(zf + rf, 0.0).astype(jnp.bfloat16)
+        else:
+            raise TypeError(node)
 
-    pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2, 3))
-    logits = pooled @ qpack["fc"]["kernel"] + qpack["fc"]["bias"]
-    logits = logits.astype(jnp.float32)
+    logits = _head(spec, y,
+                   [(h["kernel"], h["bias"]) for h in qpack["head"]])
     return (logits, sites) if debug_sites else logits
 
 
-def reference_bf16_infer(variables, x, stage_blocks=(2, 2, 2, 2)):
+def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
+                        float_blocks=DEFAULT_FLOAT_BLOCKS,
+                        dynamic: bool = False, residual: str = "dequant",
+                        debug_sites: bool = False):
+    """Round-2 compatibility entry: the r2plus1d walk via the spec."""
+    return int8_infer(qpack, x, r2plus1d_spec(tuple(stage_blocks)),
+                      float_blocks=tuple(float_blocks), dynamic=dynamic,
+                      residual=residual, debug_sites=debug_sites)
+
+
+def reference_bf16_infer(variables, x, stage_blocks=(2, 2, 2, 2), spec=None):
     """The same layer walk in bf16 (calibration graph, record=identity)."""
-    return _walk(variables, x, tuple(stage_blocks), lambda n, t: t)
+    spec = spec or r2plus1d_spec(tuple(stage_blocks))
+    return spec_walk(spec, variables, x, lambda n, t: t)

@@ -1,0 +1,147 @@
+"""Declarative arch specs (ops/arch_spec): the ONE source of truth for the
+serving-walk structure. For every covered zoo family:
+
+* spec walk (bf16 reference engine) == model.apply(train=False) to bf16
+  tolerance — proves the spec mirrors the flax module;
+* calibrate -> quantize -> int8_infer runs end to end with bounded
+  per-site reconstruction error (wiring bugs measure 50%+).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvideotagging_tpu.models import get_model
+from fastvideotagging_tpu.ops.arch_spec import iter_convs, spec_for
+from fastvideotagging_tpu.ops.int8_infer import (
+    calibrate,
+    int8_infer,
+    quantize_variables,
+    spec_walk,
+)
+
+SHAPE = (2, 8, 32, 32, 3)
+# c3d's flatten head pins the input geometry to the paper's 16x112x112.
+C3D_SHAPE = (1, 16, 112, 112, 3)
+
+CASES = [
+    ("r2plus1d_18", SHAPE, {}),
+    ("r2plus1d_18_tpu", SHAPE, {}),
+    ("p3d_63", SHAPE, {}),
+    ("c3d", C3D_SHAPE, {"dropout": 0.0}),
+]
+
+
+def _init(name, shape, kw):
+    model = get_model(name, num_classes=11, **kw)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(shape),
+                    jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    if "batch_stats" in variables:
+        # non-trivial running stats so BN folding is actually exercised
+        def perturb(path, leaf):
+            s = jax.tree_util.keystr(path)
+            rng = np.random.default_rng(abs(hash(s)) % 2**32)
+            if "mean" in s:
+                return jnp.asarray(rng.normal(0, 0.05, leaf.shape),
+                                   leaf.dtype)
+            return jnp.asarray(1.0 + rng.uniform(-0.2, 0.2, leaf.shape),
+                               leaf.dtype)
+
+        variables = {
+            "params": variables["params"],
+            "batch_stats": jax.tree_util.tree_map_with_path(
+                perturb, variables["batch_stats"]),
+        }
+    return model, variables, x
+
+
+@pytest.mark.parametrize("name,shape,kw", CASES,
+                         ids=[c[0] for c in CASES])
+def test_spec_walk_matches_model_apply(name, shape, kw):
+    model, variables, x = _init(name, shape, kw)
+    spec = spec_for(name)
+    want = np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables, x))
+    got = np.asarray(jax.jit(
+        lambda v, xx: spec_walk(spec, v, xx, lambda n, t: t))(variables, x))
+    assert got.shape == want.shape
+    # bf16 accumulation-order noise scales with the LOGIT SCALE, not each
+    # element (P3D's perturbed-BN logits reach ~4e3 with near-zero entries;
+    # measured noise ~0.5% of scale) — tolerance is 2% of max|logit|.
+    atol = 0.02 * float(np.abs(want).max()) + 0.1
+    np.testing.assert_allclose(got, want, rtol=0, atol=atol)
+
+
+@pytest.mark.parametrize("name,shape,kw", CASES,
+                         ids=[c[0] for c in CASES])
+def test_int8_engine_site_errors_bounded(name, shape, kw):
+    """calibrate -> quantize -> int8 forward; per-site reconstruction error
+    vs the bf16 walk stays at the int8 rounding floor (full-int8: no bf16
+    tail, the hardest setting)."""
+    _, variables, x = _init(name, shape, kw)
+    spec = spec_for(name)
+    scales = calibrate(variables, [x], spec=spec)
+    qpack = quantize_variables(variables, scales, spec=spec)
+
+    def run_ref(v, xx):
+        out = {}
+
+        def record(site, t):
+            out[site] = t.astype(jnp.float32)
+            return t
+
+        logits = spec_walk(spec, v, xx, record)
+        return logits, out
+
+    _, ref_sites = jax.jit(run_ref)(variables, x)
+    logits, q_sites = int8_infer(qpack, x, spec, float_blocks=(),
+                                 debug_sites=True)
+    assert np.isfinite(np.asarray(logits)).all()
+    errs = {}
+    for site, r in ref_sites.items():
+        r, q = np.asarray(r), np.asarray(q_sites[site])
+        errs[site] = np.abs(q - r).mean() / (np.abs(r).mean() + 1e-9)
+    worst = max(errs, key=errs.get)
+    assert errs[worst] < 0.15, (worst, errs[worst])
+    assert np.median(list(errs.values())) < 0.06, errs
+
+
+@pytest.mark.parametrize("name,shape,kw", CASES,
+                         ids=[c[0] for c in CASES])
+def test_calibration_sites_cover_every_conv_input(name, shape, kw):
+    _, variables, x = _init(name, shape, kw)
+    spec = spec_for(name)
+    scales = calibrate(variables, [x], spec=spec)
+    want = {c.site for _k, c in iter_convs(spec)}
+    assert set(scales) == want
+    for v in scales.values():
+        assert v.ndim == 1 and (v > 0).all()
+
+
+def test_spec_for_unknown_name_raises():
+    with pytest.raises(KeyError, match="covers"):
+        spec_for("tiny3d")
+
+
+def test_p3d_block_cycle_structure():
+    """The A->B->C cycle shows up as the expected node shapes."""
+    from fastvideotagging_tpu.ops.arch_spec import Block, Sum
+
+    spec = spec_for("p3d_63")
+    blocks = [n for n in spec.nodes if isinstance(n, Block)]
+    assert len(blocks) == 16  # 3+4+6+3
+    # block0 = A (serial convs), block1 = B (Sum from input),
+    # block2 = C (Sum from left)
+    def sums(b):
+        return [n for n in b.main if isinstance(n, Sum)]
+
+    assert not sums(blocks[0])
+    assert sums(blocks[1])[0].right_from == "input"
+    assert sums(blocks[2])[0].right_from == "left"
+    # stage entries carry a downsample conv (incl. stage 1: 64 -> 256)
+    assert blocks[0].down is not None and blocks[1].down is None

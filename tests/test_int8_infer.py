@@ -136,8 +136,10 @@ def test_make_int8_apply_eval_glue(model_and_vars, clips):
     assert np.isfinite(scores).all()
     # softmax scores: rows sum to 1
     np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-3)
-    with pytest.raises(KeyError):
-        make_int8_apply("c3d", variables, [clips])
+    # round 3: c3d/p3d ARE covered (spec-driven engine); truly-unsupported
+    # names still raise the informative coverage error
+    with pytest.raises(KeyError, match="covers"):
+        make_int8_apply("slowfast_r2plus1d", variables, [clips])
 
 
 def test_int8_engine_tpu_variant_walk(clips):
