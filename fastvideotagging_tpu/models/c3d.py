@@ -39,9 +39,13 @@ class C3D(nn.Module):
         x = max_pool_3d(x, (2, 2, 2))
         x = nn.relu(conv(512, "conv5a")(x))
         x = nn.relu(conv(512, "conv5b")(x))
-        # pool5 pads spatially (7 -> 4 at 112 input), matching the original's
-        # asymmetric pad; SAME padding reproduces the geometry.
-        x = max_pool_3d(x, (2, 2, 2), padding="SAME")
+        # pool5 pads spatially (7 -> 4 at 112 input). Torch/MXNet pad
+        # SYMMETRICALLY (pad=(0,1,1) both sides, window groupings [p,x0],
+        # [x1,x2],...) while XLA 'SAME' pads lo=0/hi=1 ([x0,x1],...,[x6,p])
+        # — same geometry, one-pixel-shifted groupings. Explicit symmetric
+        # padding keeps the classic-C3D checkpoint import numerically exact
+        # (models/torch_import.convert_c3d_state_dict).
+        x = max_pool_3d(x, (2, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
         x = x.reshape((x.shape[0], -1))
         x = nn.relu(nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32,
                              name="fc6")(x))

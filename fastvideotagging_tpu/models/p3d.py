@@ -97,7 +97,12 @@ class P3D(nn.Module):
                    name="stem_conv")(x)
         x = nn.relu(BatchNorm(use_running_average=not train, dtype=self.dtype,
                               axis_name=self.bn_axis_name, name="stem_bn")(x))
-        x = max_pool_3d(x, (2, 3, 3), strides=(2, 2, 2), padding="SAME")
+        # symmetric (0,1,1) padding = torch/MXNet maxpool semantics (XLA
+        # 'SAME' would pad lo=0/hi=1, shifting window groupings one pixel
+        # vs what public checkpoints were trained with — see models/c3d.py
+        # pool5 note and torch_import.convert_p3d_state_dict)
+        x = max_pool_3d(x, (2, 3, 3), strides=(2, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
 
         block_cycle = "ABC"
         idx = 0

@@ -53,7 +53,8 @@ class Conv:
 class MaxPool:
     window: Tuple[int, int, int]
     strides: Tuple[int, int, int]
-    padding: str = "VALID"
+    # 'VALID' | 'SAME' | tuple of 3 (lo, hi) pairs over (T, H, W)
+    padding: Tuple = "VALID"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +162,7 @@ def p3d_spec(stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)) -> ArchSpec:
     """
     nodes = [
         Conv("input", ("stem_conv", "kernel"), (1, 2, 2), bn=("stem_bn",)),
-        MaxPool((2, 3, 3), (2, 2, 2), padding="SAME"),
+        MaxPool((2, 3, 3), (2, 2, 2), padding=((0, 0), (1, 1), (1, 1))),
     ]
     idx = 0
     for stage, num_blocks in enumerate(stage_blocks):
@@ -223,7 +224,7 @@ def c3d_spec() -> ArchSpec:
         MaxPool((2, 2, 2), (2, 2, 2)),
         conv("pool4", "conv5a"),
         conv("conv5a", "conv5b"),
-        MaxPool((2, 2, 2), (2, 2, 2), padding="SAME"),
+        MaxPool((2, 2, 2), (2, 2, 2), padding=((0, 0), (1, 1), (1, 1))),
     )
     head = (Dense(("fc6",), relu=True), Dense(("fc7",), relu=True),
             Dense(("fc8",)))

@@ -142,10 +142,12 @@ def _bn_of(variables, path):
 
 
 def _maxpool(y, node):
+    padding = (((0, 0),) + tuple(node.padding) + ((0, 0),)
+               if not isinstance(node.padding, str) else node.padding)
     return lax.reduce_window(
         y, jnp.asarray(-jnp.inf, y.dtype), lax.max,
         (1,) + node.window + (1,), (1,) + node.strides + (1,),
-        node.padding)
+        padding)
 
 
 def _head(spec, x, dense_params):

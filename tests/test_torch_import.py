@@ -189,3 +189,190 @@ def test_load_pretrained_shape_mismatch_raises(torch_model_and_input,
     with pytest.raises(ValueError, match="shape mismatch"):
         load_pretrained("r2plus1d_18", str(path), num_classes=101,
                         reinit_head=False, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# C3D (classic Sports-1M-conversion layout: biased convs, fc6/7/8)
+# ---------------------------------------------------------------------------
+
+
+class TorchC3D(nn.Module):
+    """The classic public C3D torch layout (DavideA/c3d-pytorch schema)."""
+
+    def __init__(self, num_classes=7):
+        super().__init__()
+        c = lambda cin, cout: nn.Conv3d(cin, cout, 3, padding=1)  # noqa: E731
+        self.conv1 = c(3, 64)
+        self.conv2 = c(64, 128)
+        self.conv3a = c(128, 256)
+        self.conv3b = c(256, 256)
+        self.conv4a = c(256, 512)
+        self.conv4b = c(512, 512)
+        self.conv5a = c(512, 512)
+        self.conv5b = c(512, 512)
+        self.pool1 = nn.MaxPool3d((1, 2, 2), (1, 2, 2))
+        self.pool = nn.MaxPool3d((2, 2, 2), (2, 2, 2))
+        self.pool5 = nn.MaxPool3d((2, 2, 2), (2, 2, 2), padding=(0, 1, 1))
+        self.fc6 = nn.Linear(8192, 4096)
+        self.fc7 = nn.Linear(4096, 4096)
+        self.fc8 = nn.Linear(4096, num_classes)
+
+    def forward(self, x):
+        r = torch.relu
+        x = self.pool1(r(self.conv1(x)))
+        x = self.pool(r(self.conv2(x)))
+        x = self.pool(r(self.conv3b(r(self.conv3a(x)))))
+        x = self.pool(r(self.conv4b(r(self.conv4a(x)))))
+        x = self.pool5(r(self.conv5b(r(self.conv5a(x)))))
+        x = x.flatten(1)  # (B, C*T*H*W) — channel-first flatten order
+        return self.fc8(r(self.fc7(r(self.fc6(x)))))
+
+
+def test_c3d_converted_weights_reproduce_torch_logits():
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_c3d_state_dict,
+    )
+
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        tm = TorchC3D(num_classes=7)
+        tm.eval()
+        x = torch.randn((1, 3, 16, 112, 112), generator=gen)
+        torch_logits = tm(x)
+    variables = jax.tree.map(jnp.asarray,
+                             convert_c3d_state_dict(tm.state_dict()))
+    model = get_model("c3d", num_classes=7, dtype=jnp.float32, dropout=0.0)
+    xj = jnp.asarray(x.permute(0, 2, 3, 4, 1).numpy())
+    ours = np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables, xj))
+    np.testing.assert_allclose(ours, torch_logits.numpy(),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_c3d_strict_key_accounting():
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_c3d_state_dict,
+    )
+
+    tm = TorchC3D()
+    sd = dict(tm.state_dict())
+    sd.pop("conv3a.weight")
+    with pytest.raises(KeyError, match="conv3a"):
+        convert_c3d_state_dict(sd)
+    sd = dict(tm.state_dict())
+    sd["extra.weight"] = sd["conv1.weight"]
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_c3d_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# P3D (canonical public bottleneck schema: conv1..conv4/bn1..bn4 + downsample)
+# ---------------------------------------------------------------------------
+
+
+class TorchP3DBottleneck(nn.Module):
+    def __init__(self, cin, planes, stride, btype):
+        super().__init__()
+        self.btype = btype
+        self.conv1 = nn.Conv3d(cin, planes, 1, stride=(1, stride, stride),
+                               bias=False)
+        self.bn1 = nn.BatchNorm3d(planes)
+        self.conv2 = nn.Conv3d(planes, planes, (1, 3, 3), padding=(0, 1, 1),
+                               bias=False)
+        self.bn2 = nn.BatchNorm3d(planes)
+        self.conv3 = nn.Conv3d(planes, planes, (3, 1, 1), padding=(1, 0, 0),
+                               bias=False)
+        self.bn3 = nn.BatchNorm3d(planes)
+        self.conv4 = nn.Conv3d(planes, planes * 4, 1, bias=False)
+        self.bn4 = nn.BatchNorm3d(planes * 4)
+        self.downsample = None
+        if stride != 1 or cin != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv3d(cin, planes * 4, 1, stride=(1, stride, stride),
+                          bias=False),
+                nn.BatchNorm3d(planes * 4))
+
+    def forward(self, x):
+        r = torch.relu
+        residual = x if self.downsample is None else self.downsample(x)
+        y = r(self.bn1(self.conv1(x)))
+        S = lambda t: r(self.bn2(self.conv2(t)))  # noqa: E731
+        T = lambda t: r(self.bn3(self.conv3(t)))  # noqa: E731
+        if self.btype == "A":
+            y = T(S(y))
+        elif self.btype == "B":
+            y = S(y) + T(y)
+        else:
+            ys = S(y)
+            y = ys + T(ys)
+        y = self.bn4(self.conv4(y))
+        return r(y + residual)
+
+
+class TorchP3D(nn.Module):
+    """Canonical public P3D layout, pooling aligned to models/p3d.py."""
+
+    def __init__(self, stage_blocks=(3, 4, 6, 3), num_classes=7):
+        super().__init__()
+        self.conv1_custom = nn.Conv3d(3, 64, (1, 7, 7), stride=(1, 2, 2),
+                                      padding=(0, 3, 3), bias=False)
+        self.bn1 = nn.BatchNorm3d(64)
+        self.maxpool = nn.MaxPool3d((2, 3, 3), (2, 2, 2), padding=(0, 1, 1))
+        cin, idx = 64, 0
+        for stage, blocks in enumerate(stage_blocks):
+            planes = 64 * 2 ** stage
+            layer = []
+            for b in range(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                layer.append(
+                    TorchP3DBottleneck(cin, planes, stride, "ABC"[idx % 3]))
+                idx += 1
+                cin = planes * 4
+            setattr(self, f"layer{stage + 1}", nn.Sequential(*layer))
+        self.fc = nn.Linear(cin, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1_custom(x))))
+        for stage in range(1, 5):
+            x = getattr(self, f"layer{stage}")(x)
+        x = x.mean(dim=(2, 3, 4))
+        return self.fc(x)
+
+
+def test_p3d_converted_weights_reproduce_torch_logits():
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_p3d_state_dict,
+    )
+
+    gen = torch.Generator().manual_seed(2)
+    with torch.no_grad():
+        tm = TorchP3D(num_classes=7)
+        _randomize_bn_stats(tm, gen)
+        tm.eval()
+        x = torch.randn((2, 3, 8, 32, 32), generator=gen)
+        torch_logits = tm(x)
+    variables = jax.tree.map(jnp.asarray,
+                             convert_p3d_state_dict(tm.state_dict()))
+    model = get_model("p3d_63", num_classes=7, dtype=jnp.float32,
+                      dropout=0.0)
+    xj = jnp.asarray(x.permute(0, 2, 3, 4, 1).numpy())
+    ours = np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables, xj))
+    np.testing.assert_allclose(ours, torch_logits.numpy(),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_p3d_load_pretrained_from_pth(tmp_path):
+    from fastvideotagging_tpu.models.zoo import load_pretrained
+
+    with torch.no_grad():
+        tm = TorchP3D(num_classes=9)
+        tm.eval()
+    path = tmp_path / "p3d_63.pth"
+    torch.save(tm.state_dict(), str(path))
+    model, variables = load_pretrained("p3d_63", str(path), num_classes=9,
+                                       dtype=jnp.float32, dropout=0.0)
+    want = np.asarray(tm.conv1_custom.weight.detach()
+                      .permute(2, 3, 4, 1, 0).numpy())
+    got = np.asarray(variables["params"]["stem_conv"]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
