@@ -1,0 +1,111 @@
+"""Measured artifact for the native C++ PJRT serving tier (VERDICT r2
+item 6): runs the FVT_NATIVE_SERVING-class parity check AND a native-tier
+throughput measurement on the real chip, recording both to
+benchmarks/NATIVE_SERVING.json (the way int8 has INT8_SERVING.json).
+
+The parent process forces the CPU backend (the tunnel allows ONE client;
+the native runner must own it), exports StableHLO for platform 'tpu', and
+compares the runner's scores against the in-process jax CPU reference:
+
+  * parity row: r2plus1d_18, compute_dtype float32, B=2 — max abs diff of
+    the (B, 101) softmax scores (f32 end to end, so CPU-vs-TPU noise is
+    the only source);
+  * throughput row: r2plus1d_18, bf16, B=8 uint8 source clips — the
+    runner's --bench mode (21 distinct-content instances, disjoint
+    short/long batches, two-point slope; see pjrt_runner.cc) -> clips/s
+    with zero Python in the serving process.
+
+    python benchmarks/native_serving.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from fastvideotagging_tpu.config import (  # noqa: E402
+    ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig,
+)
+from fastvideotagging_tpu.evaluation.serving import (  # noqa: E402
+    export_serving_stablehlo, make_serving_fn,
+)
+from fastvideotagging_tpu.models import model_from_config  # noqa: E402
+from fastvideotagging_tpu.native import pjrt  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "NATIVE_SERVING.json")
+
+
+def _cfg(compute_dtype: str) -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(name="r2plus1d_18", num_classes=101,
+                          compute_dtype=compute_dtype),
+        data=DataConfig(source_hw=(128, 171)))
+
+
+def _variables(cfg):
+    model = model_from_config(cfg.model)
+    x0 = jnp.zeros((1, 16, 112, 112, 3), jnp.float32)
+    return model, jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False)
+
+
+def parity_row(workdir: str) -> dict:
+    cfg = _cfg("float32")
+    _, variables = _variables(cfg)
+    mod = os.path.join(workdir, "serve_f32.stablehlo")
+    export_serving_stablehlo(cfg, variables, clip_batch=2, path=mod,
+                             platforms=("tpu",))
+    clips = np.random.default_rng(0).integers(
+        0, 255, (2, 16, 128, 171, 3)).astype(np.uint8)
+    ref = np.asarray(jax.jit(make_serving_fn(cfg, variables))(
+        jnp.asarray(clips)))
+    outs = pjrt.run_serving(mod, [clips], workdir)
+    diff = float(np.max(np.abs(outs[0] - ref)))
+    print(f"parity (f32 scores, B=2): max abs diff = {diff:.2e}", flush=True)
+    return {"model": "r2plus1d_18", "compute_dtype": "float32",
+            "clip_batch": 2, "max_abs_diff": diff}
+
+
+def throughput_row(workdir: str, batch: int = 8, n: int = 21) -> dict:
+    cfg = _cfg("bfloat16")
+    _, variables = _variables(cfg)
+    mod = os.path.join(workdir, "serve_bf16.stablehlo")
+    export_serving_stablehlo(cfg, variables, clip_batch=batch, path=mod,
+                             platforms=("tpu",))
+    rng = np.random.default_rng(1)
+    clips = rng.integers(0, 255, (n, batch, 16, 128, 171, 3)).astype(np.uint8)
+    _outs, bench = pjrt.run_serving(mod, [clips], workdir, bench=n,
+                                    timeout=1800)
+    sec = bench["sec_per_exec"]
+    row = {"model": "r2plus1d_18", "compute_dtype": "bfloat16",
+           "clip_batch": batch, "bench_instances": n,
+           "sec_per_exec": round(sec, 6),
+           "clips_per_sec": round(batch / sec, 2), **bench}
+    print(f"native throughput: {row['clips_per_sec']} clips/s "
+          f"({sec * 1e3:.2f} ms/exec at B={batch})", flush=True)
+    return row
+
+
+def main():
+    with tempfile.TemporaryDirectory() as workdir:
+        record = {
+            "date": "2026-08-17",
+            "plugin": pjrt.default_plugin(),
+            "parity": parity_row(workdir),
+            "throughput": throughput_row(workdir),
+        }
+    with open(OUT, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,10 +129,14 @@ def make_compile_options(path: str) -> None:
 def run_serving(module_path: str, inputs: list[np.ndarray],
                 workdir: str, plugin: str | None = None,
                 client_options: dict | None = None,
-                timeout: int = 600) -> list[np.ndarray]:
+                timeout: int = 600, bench: int = 1):
     """Execute an exported StableHLO module in the NATIVE runner process.
 
     Returns the program outputs as numpy arrays (f32/u8/s32 supported).
+    With ``bench`` > 1, each input array carries a leading instance axis of
+    that size (DISTINCT contents per instance — the runtime dedupes
+    identical dispatches); the runner reports dedupe-proof two-point-slope
+    throughput and the return value becomes ``(outputs, bench_dict)``.
     """
     plugin = plugin or default_plugin()
     if plugin is None:
@@ -141,6 +145,8 @@ def run_serving(module_path: str, inputs: list[np.ndarray],
     os.makedirs(workdir, exist_ok=True)
     cmd = [binary, "--plugin", plugin, "--module", module_path,
            "--output", os.path.join(workdir, "out")]
+    if bench > 1:
+        cmd += ["--bench", str(bench)]
     if client_options is None:
         client_options = plugin_client_options()
     for k, v in client_options.items():
@@ -150,7 +156,8 @@ def run_serving(module_path: str, inputs: list[np.ndarray],
         arr = np.ascontiguousarray(arr)
         path = os.path.join(workdir, f"in{i}.bin")
         arr.tofile(path)
-        dims = ",".join(str(d) for d in arr.shape)
+        dims = ",".join(str(d) for d in
+                        (arr.shape[1:] if bench > 1 else arr.shape))
         cmd += ["--input", f"{_dtype_tag(arr)}:{dims}:{path}"]
     opts_path = os.path.join(workdir, "compile_options.pb")
     make_compile_options(opts_path)
@@ -167,4 +174,6 @@ def run_serving(module_path: str, inputs: list[np.ndarray],
         if dt is None:
             raise TypeError(f"runner returned unsupported dtype {o['dtype']}")
         outs.append(np.fromfile(o["file"], dtype=dt).reshape(o["shape"]))
+    if bench > 1:
+        return outs, summary.get("bench")
     return outs

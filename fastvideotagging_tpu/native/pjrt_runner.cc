@@ -25,6 +25,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 #include <string>
 #include <vector>
@@ -90,8 +91,15 @@ struct InputSpec {
   PJRT_Buffer_Type type;
   size_t elem_bytes;
   std::vector<int64_t> dims;
-  std::string data;
+  std::string data;  // bench_n concatenated instances
+  size_t instance_bytes;
 };
+
+double NowSec() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
 
 PJRT_Buffer_Type ParseType(const std::string& s, size_t* elem_bytes) {
   if (s == "u8") { *elem_bytes = 1; return PJRT_Buffer_Type_U8; }
@@ -102,8 +110,11 @@ PJRT_Buffer_Type ParseType(const std::string& s, size_t* elem_bytes) {
   Die("unsupported input dtype %s (u8|s32|f32|bf16|pred)", s.c_str());
 }
 
-// "u8:8,16,128,171,3:clips.bin" -> InputSpec
-InputSpec ParseInput(const std::string& spec) {
+// "u8:8,16,128,171,3:clips.bin" -> InputSpec. With bench_n > 1 the file
+// holds bench_n CONCATENATED instances (distinct contents per instance —
+// the runtime dedupes identical dispatches, so benchmark iterations must
+// differ in content).
+InputSpec ParseInput(const std::string& spec, size_t bench_n) {
   size_t c1 = spec.find(':');
   size_t c2 = spec.rfind(':');
   if (c1 == std::string::npos || c2 == c1)
@@ -120,9 +131,10 @@ InputSpec ParseInput(const std::string& spec) {
     pos = comma + 1;
   }
   in.data = ReadFile(spec.substr(c2 + 1));
-  if (in.data.size() != n * in.elem_bytes)
-    Die("input file size %zu != expected %zu for %s", in.data.size(),
-        n * in.elem_bytes, spec.c_str());
+  in.instance_bytes = n * in.elem_bytes;
+  if (in.data.size() != in.instance_bytes * bench_n)
+    Die("input file size %zu != expected %zu (x%zu instances) for %s",
+        in.data.size(), in.instance_bytes, bench_n, spec.c_str());
   return in;
 }
 
@@ -141,6 +153,7 @@ const char* TypeName(PJRT_Buffer_Type t) {
 
 int main(int argc, char** argv) {
   std::string plugin, module_path, out_prefix = "out", options_path;
+  size_t bench_n = 1;
   std::vector<std::string> input_specs;
   // Plugin client-create options ("key=str:value" / "key=int:value") — some
   // plugins (e.g. pool-scheduled TPU plugins) require NamedValue options.
@@ -156,6 +169,7 @@ int main(int argc, char** argv) {
     else if (a == "--input") input_specs.push_back(next());
     else if (a == "--output") out_prefix = next();
     else if (a == "--compile-options") options_path = next();
+    else if (a == "--bench") bench_n = (size_t)atoll(next().c_str());
     else if (a == "--client-option") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -164,7 +178,11 @@ int main(int argc, char** argv) {
     } else if (a == "--help") {
       printf("usage: pjrt_runner --plugin P.so --module M.mlir "
              "[--input dtype:dims:file]... [--compile-options F] "
-             "[--client-option k=str:v|k=int:v]... [--output prefix]\n");
+             "[--client-option k=str:v|k=int:v]... [--output prefix] "
+             "[--bench N]\n"
+             "--bench N: each input file holds N concatenated instances "
+             "with DISTINCT contents; reports dedupe-proof two-point-slope "
+             "throughput over disjoint short/long batches.\n");
       return 0;
     } else Die("unknown arg %s", a.c_str());
   }
@@ -253,26 +271,30 @@ int main(int argc, char** argv) {
   Check(g_api->PJRT_Client_Compile(&comp), "PJRT_Client_Compile");
   PJRT_LoadedExecutable* exec = comp.executable;
 
-  // Stage inputs.
-  std::vector<PJRT_Buffer*> args_bufs;
+  // Stage inputs: args_sets[inst] is one full argument list; with --bench N
+  // there are N sets with distinct contents (dedupe-proof iterations).
+  std::vector<std::vector<PJRT_Buffer*>> args_sets(bench_n);
   for (const std::string& spec : input_specs) {
-    InputSpec in = ParseInput(spec);
-    PJRT_Client_BufferFromHostBuffer_Args b;
-    memset(&b, 0, sizeof(b));
-    b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-    b.client = client;
-    b.data = in.data.data();
-    b.type = in.type;
-    b.dims = in.dims.data();
-    b.num_dims = in.dims.size();
-    b.host_buffer_semantics =
-        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-    b.device = device;
-    Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
-          "PJRT_Client_BufferFromHostBuffer");
-    AwaitEvent(b.done_with_host_buffer, "host buffer transfer");
-    args_bufs.push_back(b.buffer);
+    InputSpec in = ParseInput(spec, bench_n);
+    for (size_t inst = 0; inst < bench_n; ++inst) {
+      PJRT_Client_BufferFromHostBuffer_Args b;
+      memset(&b, 0, sizeof(b));
+      b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+      b.client = client;
+      b.data = in.data.data() + inst * in.instance_bytes;
+      b.type = in.type;
+      b.dims = in.dims.data();
+      b.num_dims = in.dims.size();
+      b.host_buffer_semantics =
+          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      b.device = device;
+      Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
+            "PJRT_Client_BufferFromHostBuffer");
+      AwaitEvent(b.done_with_host_buffer, "host buffer transfer");
+      args_sets[inst].push_back(b.buffer);
+    }
   }
+  std::vector<PJRT_Buffer*>& args_bufs = args_sets[0];
 
   // Output count.
   PJRT_LoadedExecutable_GetExecutable_Args ge;
@@ -289,28 +311,98 @@ int main(int argc, char** argv) {
   size_t num_outputs = no.num_outputs;
 
   // Execute on one device.
-  std::vector<PJRT_Buffer*> outputs(num_outputs, nullptr);
-  PJRT_Buffer** output_list = outputs.data();
-  PJRT_Buffer* const* arg_list = args_bufs.data();
-  PJRT_Event* done = nullptr;
   PJRT_ExecuteOptions opts;
   memset(&opts, 0, sizeof(opts));
   opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-  PJRT_LoadedExecutable_Execute_Args ex;
-  memset(&ex, 0, sizeof(ex));
-  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-  ex.executable = exec;
-  ex.options = &opts;
-  ex.argument_lists = &arg_list;
-  ex.num_devices = 1;
-  ex.num_args = args_bufs.size();
-  ex.output_lists = &output_list;
-  ex.device_complete_events = &done;
-  Check(g_api->PJRT_LoadedExecutable_Execute(&ex),
-        "PJRT_LoadedExecutable_Execute");
-  AwaitEvent(done, "execution");
+
+  auto execute_set = [&](std::vector<PJRT_Buffer*>& set,
+                         std::vector<PJRT_Buffer*>& outs) {
+    outs.assign(num_outputs, nullptr);
+    PJRT_Buffer** output_list = outs.data();
+    PJRT_Buffer* const* arg_list = set.data();
+    PJRT_Event* done = nullptr;
+    PJRT_LoadedExecutable_Execute_Args ex;
+    memset(&ex, 0, sizeof(ex));
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &opts;
+    ex.argument_lists = &arg_list;
+    ex.num_devices = 1;
+    ex.num_args = set.size();
+    ex.output_lists = &output_list;
+    ex.device_complete_events = &done;
+    Check(g_api->PJRT_LoadedExecutable_Execute(&ex),
+          "PJRT_LoadedExecutable_Execute");
+    AwaitEvent(done, "execution");
+  };
+
+  // Through a remote tunnel the completion event can resolve before the
+  // device finishes (async stream) — a small host readback of output 0 is
+  // the only honest synchronization (same reason bench.py reads one
+  // element back).
+  auto sync_readback = [&](std::vector<PJRT_Buffer*>& outs) {
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = outs[0];
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "size query");
+    std::string host(th.dst_size, '\0');
+    th.dst = &host[0];
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "sync readback");
+    AwaitEvent(th.event, "sync readback");
+  };
+
+  auto destroy_outs = [&](std::vector<PJRT_Buffer*>& outs) {
+    for (PJRT_Buffer* b : outs) {
+      if (!b) continue;
+      PJRT_Buffer_Destroy_Args d;
+      memset(&d, 0, sizeof(d));
+      d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      d.buffer = b;
+      g_api->PJRT_Buffer_Destroy(&d);
+    }
+  };
+
+  std::vector<PJRT_Buffer*> outputs;
+  double sec_per_exec = -1.0, t_short = 0.0, t_long = 0.0;
+  size_t n_short = 0, n_long = 0;
+  if (bench_n <= 1) {
+    execute_set(args_bufs, outputs);
+  } else {
+    // warmup (compile/layout effects) on set 0
+    execute_set(args_sets[0], outputs);
+    sync_readback(outputs);
+    destroy_outs(outputs);
+    // disjoint short/long batches of DISTINCT-content sets; the two-point
+    // slope cancels the fixed sync/tunnel overhead per batch
+    size_t avail = bench_n - 1;
+    n_short = avail / 4 > 0 ? avail / 4 : 1;
+    n_long = avail - n_short;
+    if (n_long <= n_short) Die("--bench needs >= 6 instances");
+    auto run_batch = [&](size_t lo, size_t hi) {
+      double t0 = NowSec();
+      std::vector<std::vector<PJRT_Buffer*>> outs(hi - lo);
+      for (size_t i = lo; i < hi; ++i)
+        execute_set(args_sets[i], outs[i - lo]);
+      sync_readback(outs.back());
+      double t1 = NowSec();
+      for (size_t i = 0; i + 1 < outs.size(); ++i) destroy_outs(outs[i]);
+      outputs = outs.back();
+      return t1 - t0;
+    };
+    t_short = run_batch(1, 1 + n_short);
+    destroy_outs(outputs);
+    t_long = run_batch(1 + n_short, 1 + n_short + n_long);
+    sec_per_exec = (t_long - t_short) / (double)(n_long - n_short);
+  }
 
   // Fetch outputs.
+  if (sec_per_exec > 0.0) {
+    printf("{\"bench\": {\"n_short\": %zu, \"n_long\": %zu, "
+           "\"t_short_s\": %.6f, \"t_long_s\": %.6f, "
+           "\"sec_per_exec\": %.6f}, \"outputs\": [",
+           n_short, n_long, t_short, t_long, sec_per_exec);
+  } else
   printf("{\"outputs\": [");
   for (size_t i = 0; i < num_outputs; ++i) {
     PJRT_Buffer_ToHostBuffer_Args th;

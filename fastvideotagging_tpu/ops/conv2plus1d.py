@@ -22,15 +22,16 @@ concatenated along the lane (channel) dim — Mosaic allows lane-concat only
 for operands with identical sublane offsets, so the dw (sublane) shift is
 normalized by one column-slice per dw before the dh-concat.
 
-Status (v5e, 2026-08-16, dedupe-proof measurement — the axon runtime caches
-identical dispatches, which inflated early numbers): XLA's native conv is
-FAST standalone (s1 spatial 110 TF/s, s2 163 TF/s — it evidently tap-packs
-internally), and these Pallas kernels are slower standalone AND inside the
-train step (custom-call boundaries: layout padding C=64 -> 128, no
-fusion/remat across, 4x slower end-to-end, OOM at batch 32). They remain
-first-party, correctness-tested (interpret + on-chip) foundations for
-future fused/whole-stage work; the production default is kernels='xla' and
-the honest conclusion is that XLA wins this op shape today.
+Status (v5e; round-3 final, PERF.md top): XLA's native convs run at
+85-100% of their byte rooflines standalone (spatial 110-163 TF/s, temporal
+fwd/dx/dw byte-bound-optimal — the round-2 "temporal emitter weakness" was
+a protocol artifact). The temporal path below is the round-3 v3p/v3
+design (no HBM pad, no halo, divisor tiles, packed-tap matmul + Pallas
+grid-accumulated dw) — 2-4x faster than round 2's kernels, within ~25% of
+XLA on fwd/dx and TYING it on dw — the best of three design generations
+and the checked-in evidence that kernel substitution cannot beat the
+primitive on this op class. Production default remains kernels='xla';
+this path is the correctness-tested opt-in.
 
 Scope: stride-1 SAME convs with channels >= MIN_C take the Pallas path;
 strided stage-entry convs and the tiny-channel stem fall back to
@@ -198,9 +199,24 @@ def spatial_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
 
 def _temporal_kernel(x_ref, w_ref, out_ref, *, k: int, t: int, tile_s: int,
                      c: int):
-    slab = x_ref[0]  # (t + k - 1, tile_s, C), T-halo pre-padded
-    taps = [slab[dt : dt + t] for dt in range(k)]  # major-axis slices
-    patches = jnp.concatenate(taps, axis=-1).reshape(t * tile_s, k * c)
+    """v3p (round 3): no HBM pad, no halo — the temporal conv is POINTWISE
+    in S, so blocks are fully independent; T boundaries are zero rows
+    concatenated IN VMEM (p*tile_s rows, trivial) and the k taps pack into
+    one (t*tile_s, k*C) @ (k*C, Co) matmul (MXU accumulates across taps —
+    no f32 scratch round-trips). The round-2 padded/halo'd form cost a
+    full 822 MB padded-copy pass + tiny 64-wide tiles; measured 2026-08-17
+    (benchmarks/kernel_micro.py): v2 5.11 ms raw -> v3p 3.03 ms raw at the
+    tpu1 geometry."""
+    p = k // 2
+    slab = x_ref[0]  # (t, tile_s, C)
+    zt = jnp.zeros((p, tile_s, c), slab.dtype)
+    padded = jnp.concatenate([zt, slab, zt], axis=0)  # T-axis: outer dim
+    # every slice/reshape stays on the OUTER (T) axis — flat row-slices at
+    # offsets dt*tile_s are sublane-misaligned when tile_s % 8 != 0 and
+    # Mosaic mis-lowers the following lane-concat (caught by the on-chip
+    # parity tier at tile_s=36)
+    taps = [padded[dt : dt + t].reshape(t * tile_s, c) for dt in range(k)]
+    patches = jnp.concatenate(taps, axis=-1)  # (t*tile_s, k*C)
     acc = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
     out_ref[0] = acc.reshape(t, tile_s, -1).astype(out_ref.dtype)
 
@@ -210,15 +226,13 @@ def _temporal_pallas(x: jax.Array, w2d: jax.Array, k: int) -> jax.Array:
     """x: (B, T, S, C); w2d: (k*C, Co). Stride-1 SAME conv over T."""
     b, t, s, c = x.shape
     co = w2d.shape[-1]
-    p = k // 2
-    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))  # full T fits in VMEM
-    tile_s = _pick_tile(s, 512)
+    tile_s = _pick_tile(s, 448)
     grid = (b, s // tile_s)
     return pl.pallas_call(
         functools.partial(_temporal_kernel, k=k, t=t, tile_s=tile_s, c=c),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t + 2 * p, tile_s, c),
+            pl.BlockSpec((1, t, tile_s, c),
                          lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k * c, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -226,8 +240,12 @@ def _temporal_pallas(x: jax.Array, w2d: jax.Array, k: int) -> jax.Array:
         out_specs=pl.BlockSpec((1, t, tile_s, co), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, s, co), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * s * k * c * co,
+            bytes_accessed=b * t * s * (c + co) * 2,
+            transcendentals=0),
         interpret=_interpret(),
-    )(xp, w2d)
+    )(x, w2d)
 
 
 def _temporal_w2d(w: jax.Array) -> jax.Array:
@@ -236,17 +254,55 @@ def _temporal_w2d(w: jax.Array) -> jax.Array:
     return w.reshape(k * c, co)
 
 
+def _temporal_dw_kernel(x_ref, g_ref, dw_ref, *, k: int, t: int,
+                        tile_s: int):
+    """dw[dt] = sum over (rows where both x[t+dt-p] and g[t] exist) of
+    x^T g — tap-shifted contractions accumulated into the same f32 output
+    block across the sequential TPU grid (no pad, no halo)."""
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    c = x_ref.shape[-1]
+    p = k // 2
+    xs = x_ref[0]  # (t, tile_s, C)
+    gs = g_ref[0]  # (t, tile_s, Co)
+    for dt in range(k):
+        off = dt - p
+        rows = t - abs(off)
+        # T-axis (outer-dim) slices only — see the fwd kernel's alignment
+        # note; reshape to 2D after slicing
+        xt = xs[max(0, off) : max(0, off) + rows].reshape(rows * tile_s, c)
+        gt = gs[max(0, -off) : max(0, -off) + rows].reshape(rows * tile_s,
+                                                           -1)
+        dw_ref[dt] += lax.dot_general(
+            xt, gt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def _temporal_dw(x: jax.Array, g: jax.Array, k: int) -> jax.Array:
     b, t, s, c = x.shape
-    p = k // 2
-    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
-    gf = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
-    rows = []
-    for dt in range(k):
-        patch = lax.slice(xp, (0, dt, 0, 0), (b, dt + t, s, c))
-        rows.append(jnp.dot(patch.reshape(-1, c).astype(jnp.float32).T, gf,
-                            preferred_element_type=jnp.float32))
-    return jnp.stack(rows)
+    co = g.shape[-1]
+    tile_s = _pick_tile(s, 448)
+    return pl.pallas_call(
+        functools.partial(_temporal_dw_kernel, k=k, t=t, tile_s=tile_s),
+        grid=(b, s // tile_s),
+        in_specs=[
+            pl.BlockSpec((1, t, tile_s, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, tile_s, co), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, c, co), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, c, co), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * s * k * c * co,
+            bytes_accessed=b * t * s * (c + co) * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, g)
 
 
 @jax.custom_vjp
