@@ -14,7 +14,18 @@ scale with tensor size and cancel the MXU gain. This script:
      static scales (default; requant epilogue-fusible), dynamic scales (an
      unfusible amax pass per site), and a float_blocks=() full-int8 variant.
 
-    python benchmarks/int8_kinetics.py
+    python benchmarks/int8_kinetics.py            # clips/s sweep (slow)
+    python benchmarks/int8_kinetics.py --profile  # device-time attribution
+
+--profile traces the compiled int8 and bf16 engines (jax.profiler device
+events joined with the optimized HLO, same machinery as
+utils/step_profiler) and buckets fusion time into: convs by input dtype
+(s8 vs bf16), conv-free s8-OUTPUT fusions (the standalone quantize passes
+the epilogue-fuse idea would remove), and everything else. The
+"epilogue-fused upper bound" = int8 total minus the standalone quantize
+bucket — if that still does not beat the bf16 total, fusing the quantize
+into producer epilogues cannot rescue int8 at this geometry and the
+VERDICT r2 item 5 negative is closed with attribution.
 """
 
 from __future__ import annotations
@@ -52,6 +63,101 @@ def hlo_quantize_report(compiled_text: str) -> dict:
     return {"s8_fusion_outputs": len(fusions),
             "s8_fusion_output_mbytes": round(total_bytes / 1e6, 1),
             "convolutions": convs}
+
+
+def _trace_attribute(step, x0, n_steps: int = 3,
+                     trace_dir: str = "/tmp/fvt_int8_trace") -> dict:
+    """Trace a jitted carry-through step and bucket device time.
+
+    Buckets (us/step): conv fusions split by the convolution's OUTPUT dtype
+    in the optimized HLO (s32 = the s8xs8 int8 conv, bf16/f32 = float conv),
+    conv-free fusions whose output is s8 (standalone quantize passes — the
+    bytes the epilogue-fuse formulation would eliminate), and other."""
+    import os
+
+    from fastvideotagging_tpu.utils.step_profiler import (
+        load_trace_durations, parse_hlo,
+    )
+
+    compiled = step.lower(x0).compile()
+    txt = compiled.as_text()
+    fus, comp_convs = parse_hlo(txt)
+    out_dtype = {m.group(1): m.group(2) for m in re.finditer(
+        r"%([\w\.\-]+) = ([a-z0-9]+)[\[(].*? fusion\(", txt)}
+
+    def sync(x):
+        float(jnp.asarray(x.reshape(-1)[0], jnp.float32))
+
+    c = step(x0)
+    sync(c)
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(n_steps):
+            c = step(c)
+        sync(c)
+    dur = load_trace_durations(trace_dir, n_steps)
+
+    cat: dict[str, float] = {"conv_s8": 0.0, "conv_float": 0.0,
+                             "quantize_pass_s8out": 0.0, "other": 0.0}
+    quant_rows = []
+    for name, d in dur.items():
+        if name.startswith("jit_"):
+            continue
+        calls, _op = fus.get(name, (None, None))
+        convs = comp_convs.get(calls, []) if calls else []
+        if convs:
+            if any(s.startswith("s32[") for s, *_ in convs):
+                cat["conv_s8"] += d
+            else:
+                cat["conv_float"] += d
+        elif out_dtype.get(name) == "s8":
+            cat["quantize_pass_s8out"] += d
+            quant_rows.append((d, name))
+        else:
+            cat["other"] += d
+    quant_rows.sort(reverse=True)
+    total = sum(cat.values())
+    return {"total_ms": round(total / 1e3, 2),
+            "ms": {k: round(v / 1e3, 2) for k, v in cat.items()},
+            "top_quantize_passes_us": [
+                (round(d), n) for d, n in quant_rows[:8]]}
+
+
+def profile_mode():
+    model = get_model(MODEL, num_classes=101)
+    spec = spec_for(MODEL)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((B, T, CROP, CROP, 3)),
+                     jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0[:1], train=False)
+    qpack = quantize_variables(
+        variables, calibrate(variables, [x0[:2]], spec=spec), spec=spec)
+
+    @jax.jit
+    def bf16_step(xi):
+        y = model.apply(variables, xi, train=False)
+        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
+
+    @jax.jit
+    def int8_step(xi):
+        y = int8_infer(qpack, xi, spec)
+        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
+
+    report = {"geometry": f"{MODEL} B={B} {T}x{CROP}x{CROP}"}
+    report["int8"] = _trace_attribute(int8_step, x0,
+                                      trace_dir="/tmp/fvt_i8k_trace")
+    print("int8:", json.dumps(report["int8"]), flush=True)
+    report["bf16"] = _trace_attribute(bf16_step, x0,
+                                      trace_dir="/tmp/fvt_bf16k_trace")
+    print("bf16:", json.dumps(report["bf16"]), flush=True)
+    ub = report["int8"]["total_ms"] - report["int8"]["ms"][
+        "quantize_pass_s8out"]
+    report["epilogue_fused_upper_bound_ms"] = round(ub, 2)
+    report["bf16_total_ms"] = report["bf16"]["total_ms"]
+    report["upper_bound_speedup_vs_bf16"] = round(
+        report["bf16"]["total_ms"] / ub, 3) if ub > 0 else None
+    print(json.dumps(report))
 
 
 def main():
@@ -106,4 +212,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--profile" in sys.argv:
+        profile_mode()
+    else:
+        main()
