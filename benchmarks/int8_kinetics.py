@@ -123,44 +123,9 @@ def _trace_attribute(step, x0, n_steps: int = 3,
                 (round(d), n) for d, n in quant_rows[:8]]}
 
 
-def profile_mode():
-    model = get_model(MODEL, num_classes=101)
-    spec = spec_for(MODEL)
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((B, T, CROP, CROP, 3)),
-                     jnp.bfloat16)
-    variables = jax.jit(model.init, static_argnames="train")(
-        jax.random.PRNGKey(0), x0[:1], train=False)
-    qpack = quantize_variables(
-        variables, calibrate(variables, [x0[:2]], spec=spec), spec=spec)
-
-    @jax.jit
-    def bf16_step(xi):
-        y = model.apply(variables, xi, train=False)
-        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
-
-    @jax.jit
-    def int8_step(xi):
-        y = int8_infer(qpack, xi, spec)
-        return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
-
-    report = {"geometry": f"{MODEL} B={B} {T}x{CROP}x{CROP}"}
-    report["int8"] = _trace_attribute(int8_step, x0,
-                                      trace_dir="/tmp/fvt_i8k_trace")
-    print("int8:", json.dumps(report["int8"]), flush=True)
-    report["bf16"] = _trace_attribute(bf16_step, x0,
-                                      trace_dir="/tmp/fvt_bf16k_trace")
-    print("bf16:", json.dumps(report["bf16"]), flush=True)
-    ub = report["int8"]["total_ms"] - report["int8"]["ms"][
-        "quantize_pass_s8out"]
-    report["epilogue_fused_upper_bound_ms"] = round(ub, 2)
-    report["bf16_total_ms"] = report["bf16"]["total_ms"]
-    report["upper_bound_speedup_vs_bf16"] = round(
-        report["bf16"]["total_ms"] / ub, 3) if ub > 0 else None
-    print(json.dumps(report))
-
-
-def main():
+def _setup():
+    """Shared model/engine/carry-step construction — --profile and the
+    clips/s sweep MUST measure the same graphs (same carry protocol)."""
     model = get_model(MODEL, num_classes=101)
     spec = spec_for(MODEL)
     rng = np.random.default_rng(0)
@@ -182,6 +147,32 @@ def main():
             y = int8_infer(qpack, xi, spec, **kw)
             return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
         return step
+
+    return x0, qpack, spec, bf16_step, int8_step_fn
+
+
+def profile_mode():
+    x0, _qpack, _spec, bf16_step, int8_step_fn = _setup()
+    int8_step = int8_step_fn()
+
+    report = {"geometry": f"{MODEL} B={B} {T}x{CROP}x{CROP}"}
+    report["int8"] = _trace_attribute(int8_step, x0,
+                                      trace_dir="/tmp/fvt_i8k_trace")
+    print("int8:", json.dumps(report["int8"]), flush=True)
+    report["bf16"] = _trace_attribute(bf16_step, x0,
+                                      trace_dir="/tmp/fvt_bf16k_trace")
+    print("bf16:", json.dumps(report["bf16"]), flush=True)
+    ub = report["int8"]["total_ms"] - report["int8"]["ms"][
+        "quantize_pass_s8out"]
+    report["epilogue_fused_upper_bound_ms"] = round(ub, 2)
+    report["bf16_total_ms"] = report["bf16"]["total_ms"]
+    report["upper_bound_speedup_vs_bf16"] = round(
+        report["bf16"]["total_ms"] / ub, 3) if ub > 0 else None
+    print(json.dumps(report))
+
+
+def main():
+    x0, qpack, spec, bf16_step, int8_step_fn = _setup()
 
     report = {"geometry": f"{MODEL} B={B} {T}x{CROP}x{CROP}"}
     # HLO analysis of the default engine

@@ -29,6 +29,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The production tile picker — the benchmark must measure the exact tiles
+# the kernels='pallas' path runs with.
+from fastvideotagging_tpu.ops.conv2plus1d import _pick_tile as _divisor_tile
+
 
 def _sync(x):
     leaf = jax.tree.leaves(x)[0]
@@ -145,11 +149,6 @@ def _v3_kernel(x_ref, w_ref, out_ref, acc_ref, *, k: int, t: int,
     out_ref[0] = acc_ref[:].reshape(t, tile_s, co).astype(out_ref.dtype)
 
 
-def _divisor_tile(total: int, max_tile: int) -> int:
-    for cand in range(min(max_tile, total), 0, -1):
-        if total % cand == 0:
-            return cand
-    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_tile"))

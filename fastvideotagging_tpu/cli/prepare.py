@@ -83,9 +83,39 @@ def pack_splits(out_dir: str, root: str, resize_hw) -> dict:
     return stats
 
 
+def pack_lists(list_files, root: str, resize_hw, tag_lists: bool = False,
+               class_index: str | None = None) -> dict:
+    """Pack EXISTING split lists (skips the tree scan / split writing).
+
+    ``tag_lists``: lists are multi-label (``path tag_a,tag_b``); the tag
+    index is built from the first list in first-appearance order and reused
+    for the rest, and its size is recorded in each pack (enables multilabel
+    training straight from the pack). Each ``x.txt`` packs to ``x.fvtpack``.
+    """
+    from fastvideotagging_tpu.data import ucf101
+    from fastvideotagging_tpu.data.packed import PACK_EXT, write_pack
+
+    cidx = ucf101.load_class_index(class_index) if class_index else None
+    tag_index = None
+    stats = {}
+    for lst in list_files:
+        if tag_lists:
+            records, tag_index = ucf101.load_tag_list(lst, root, tag_index)
+            num_tags = len(tag_index)
+        else:
+            records = ucf101.load_video_list(lst, root, cidx)
+            num_tags = None
+        out = os.path.splitext(lst)[0] + PACK_EXT
+        stats[os.path.basename(lst)] = write_pack(
+            records, out, resize_hw, root=root, num_tags=num_tags)
+    return stats
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("root", help="dataset root: root/ClassName/video.ext")
+    p.add_argument("root", help="dataset root: root/ClassName/video.ext "
+                                "(with --pack-lists: the video root the "
+                                "list paths are relative to)")
     p.add_argument("--out", default=None, help="output dir (default: root)")
     p.add_argument("--val-fraction", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=0)
@@ -96,8 +126,27 @@ def main(argv=None):
     p.add_argument("--pack-resize", type=int, nargs=2, default=(128, 171),
                    metavar=("H", "W"),
                    help="pack frame geometry; must equal the training "
-                        "config's resize_hw (default UCF101 spec 128 171)")
+                        "config's SHIP geometry — source_hw if the config "
+                        "pins one, else resize_hw (default UCF101 spec "
+                        "128 171)")
+    p.add_argument("--pack-lists", nargs="+", metavar="LIST",
+                   help="pack these existing split lists instead of "
+                        "scanning root and writing new splits")
+    p.add_argument("--tag-lists", action="store_true",
+                   help="with --pack-lists: lists are multi-label tag "
+                        "lists; tag count is recorded in the packs")
+    p.add_argument("--class-index", default=None,
+                   help="with --pack-lists: classInd.txt for 1-based "
+                        "label parsing")
     args = p.parse_args(argv)
+    if args.tag_lists and not args.pack_lists:
+        raise SystemExit("--tag-lists requires --pack-lists (the scanned "
+                         "tree mode is single-label by construction)")
+    if args.pack_lists:
+        print(pack_lists(args.pack_lists, args.root,
+                         tuple(args.pack_resize), tag_lists=args.tag_lists,
+                         class_index=args.class_index))
+        return
     classes = scan_tree(args.root)
     if not classes:
         raise SystemExit(f"no class directories with videos under {args.root}")

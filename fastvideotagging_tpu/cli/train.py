@@ -35,12 +35,26 @@ def load_records(cfg, args):
     if is_pack(cfg.data.train_list):
         # Decode-once tier: labels/tags live inside the pack; pass the
         # paths straight through (fit/make_eval_fn open PackedDatasets).
+        if args.class_index:
+            raise SystemExit(
+                "--class-index is unused with a .fvtpack train list: "
+                "labels were resolved at pack time (cli.prepare --pack)")
         val = cfg.data.val_list or None
         if val is not None and not is_pack(val):
             raise SystemExit(
                 "--train-list is a .fvtpack but --val-list is not; pack "
                 "both splits (cli.prepare --pack) or neither")
-        return cfg.data.train_list, val, None
+        num_tags = None
+        if args.tag_lists:
+            from fastvideotagging_tpu.data.packed import Pack
+
+            num_tags = Pack(cfg.data.train_list).num_tags
+            if num_tags is None:
+                raise SystemExit(
+                    "--tag-lists: this pack carries no tag sets (it was "
+                    "written from class lists); re-pack the tag lists with "
+                    "cli.prepare --pack-lists <lists...> --tag-lists")
+        return cfg.data.train_list, val, num_tags
     cidx = (ucf101.load_class_index(args.class_index)
             if args.class_index else None)
     num_tags = None

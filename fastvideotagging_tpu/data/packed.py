@@ -7,11 +7,16 @@ while the chip consumes 273-392 (BENCH_r02) — real-video training is
 loader-bound 4-6x. This module removes FFmpeg from the train loop entirely:
 
 * ``write_pack`` (the prepare step) decodes each video ONCE, resizes every
-  frame to the spec geometry (``DataConfig.resize_hw``) with the SAME
-  half-pixel bilinear the streaming loader uses (native/framepack.c via
-  ``pipeline._ensure_size``), and streams the uint8 stacks into one flat
-  mmap-able file with a JSON footer index. Memory is O(chunk) even for
-  long-form videos (``decode.iter_frame_chunks``).
+  frame to the SHIP geometry — what the streaming loader would send to the
+  device: ``DataConfig.source_hw`` if the config pins one, else
+  ``resize_hw`` — with the SAME half-pixel bilinear the streaming loader
+  uses (native/framepack.c via ``pipeline._ensure_size``), and streams the
+  uint8 stacks into one flat mmap-able file with a JSON footer index.
+  Matching the ship geometry (not unconditionally ``resize_hw``) is what
+  keeps packed batches BIT-identical for ``source_hw`` configs, where the
+  device does the resize in float and a host-resized uint8 pack would
+  carry extra rounding. Memory is O(chunk) even for long-form videos
+  (``decode.iter_frame_chunks``).
 * ``PackedDataset`` subclasses ``pipeline.ClipDataset`` and overrides only
   the two frame-access points (``_num_frames``, ``_clip_frames``), so clip
   sampling, crop/flip draws, fault policy and collation are BY CONSTRUCTION
@@ -60,12 +65,16 @@ def is_pack(path) -> bool:
 
 def write_pack(records, out_path: str, resize_hw, root: str = "",
                chunk_size: int = 256, num_tags: int | None = None) -> dict:
-    """Decode each record once -> spec-resized uint8 stacks in a flat file.
+    """Decode each record once -> ship-geometry uint8 stacks in a flat file.
 
-    Atomic (tmp + rename). Undecodable videos are skipped with a log line
-    (the loader fault policy, applied once at prepare time instead of every
-    epoch). ``root``: stored paths are relative to it when given, keeping
-    packs relocatable. Returns a summary dict.
+    ``resize_hw`` must be the config's SHIP geometry (``source_hw`` if set,
+    else ``resize_hw`` — see module docstring). Atomic (tmp + rename).
+    Undecodable videos are skipped with a log line (the loader fault
+    policy, applied once at prepare time instead of every epoch).
+    ``root``: stored paths are relative to it when given, keeping packs
+    relocatable. ``num_tags``: record it in the index when packing
+    multi-label tag lists (enables multilabel training from the pack).
+    Returns a summary dict.
     """
     h, w = resize_hw
     frame_bytes = h * w * 3
@@ -167,18 +176,27 @@ class PackedDataset(ClipDataset):
     def __init__(self, pack, data_cfg: DataConfig, mode: str = "train",
                  num_tags: int | None = None, seed: int = 0, root: str = ""):
         self.pack = pack if isinstance(pack, Pack) else Pack(pack)
-        if (self.pack.height, self.pack.width) != tuple(data_cfg.resize_hw):
+        ship = tuple(getattr(data_cfg, "source_hw", None)
+                     or data_cfg.resize_hw)
+        if (self.pack.height, self.pack.width) != ship:
             raise ValueError(
                 f"pack geometry {self.pack.height}x{self.pack.width} != "
-                f"config resize_hw {data_cfg.resize_hw}; re-run the prepare "
-                f"step (cli.prepare --pack) at the config geometry")
+                f"config ship geometry {ship} (source_hw if set, else "
+                f"resize_hw); re-run the prepare step (cli.prepare --pack) "
+                f"at the ship geometry so packed batches stay bit-identical "
+                f"to the streaming loader")
         if num_tags is None:
             num_tags = self.pack.num_tags
+        elif self.pack.num_tags is None:
+            raise ValueError(
+                "multilabel training needs a pack written from tag lists "
+                "(cli.prepare --pack-lists ... --tag-lists); this pack was "
+                "written from class lists and carries no tag sets, so "
+                "multihot targets would be all-zero")
         super().__init__(self.pack.records(root), data_cfg, mode=mode,
                          num_tags=num_tags, seed=seed)
-        # Packs always ship at the spec resize geometry (device resize is an
-        # identity matmul), regardless of any source_hw in the config.
-        self.ship_hw = (self.pack.height, self.pack.width)
+        # The geometry check above makes the parent's ship_hw == the pack
+        # geometry, so _clip_frames can return stored bytes unmodified.
         self._index_of = {r.path: i for i, r in enumerate(self.records)}
 
     def _num_frames(self, rec: VideoRecord) -> int:

@@ -169,7 +169,14 @@ int main(int argc, char** argv) {
     else if (a == "--input") input_specs.push_back(next());
     else if (a == "--output") out_prefix = next();
     else if (a == "--compile-options") options_path = next();
-    else if (a == "--bench") bench_n = (size_t)atoll(next().c_str());
+    else if (a == "--bench") {
+      bench_n = (size_t)atoll(next().c_str());
+      // 1 warmup + disjoint short/long batches with n_long > n_short; fail
+      // here, before any device buffers are staged.
+      if (bench_n > 1 && bench_n < 6)
+        Die("--bench needs >= 6 instances (1 warmup + short/long batches "
+            "with a meaningful slope); got %zu", bench_n);
+    }
     else if (a == "--client-option") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -378,7 +385,9 @@ int main(int argc, char** argv) {
     size_t avail = bench_n - 1;
     n_short = avail / 4 > 0 ? avail / 4 : 1;
     n_long = avail - n_short;
-    if (n_long <= n_short) Die("--bench needs >= 6 instances");
+    if (n_long <= n_short)
+      Die("internal: bench batch split degenerate (n_short=%zu n_long=%zu)",
+          n_short, n_long);
     auto run_batch = [&](size_t lo, size_t hi) {
       double t0 = NowSec();
       std::vector<std::vector<PJRT_Buffer*>> outs(hi - lo);

@@ -231,25 +231,27 @@ def c3d_spec() -> ArchSpec:
     return ArchSpec(nodes, "flatten", head)
 
 
-# zoo name -> spec builder result (the serving-surface gate; replaces the
-# round-2 STAGE_BLOCKS dict). `_tpu` variants share the faithful structure.
+# zoo name -> spec builder (the serving-surface gate; replaces the round-2
+# STAGE_BLOCKS dict). `_tpu` variants share the faithful structure.
+_BUILDERS = {
+    "r2plus1d_18": lambda: r2plus1d_spec((2, 2, 2, 2)),
+    "r2plus1d_18_tpu": lambda: r2plus1d_spec((2, 2, 2, 2)),
+    "r2plus1d_34": lambda: r2plus1d_spec((3, 4, 6, 3)),
+    "r2plus1d_34_tpu": lambda: r2plus1d_spec((3, 4, 6, 3)),
+    "p3d_63": lambda: p3d_spec((3, 4, 6, 3)),
+    "p3d_131": lambda: p3d_spec((3, 4, 23, 3)),
+    "p3d_199": lambda: p3d_spec((3, 8, 36, 3)),
+    "c3d": c3d_spec,
+}
+
+# Every surface gating on engine coverage (Tagger, quantized glue, serving
+# export) derives from the one builders dict — the gates cannot drift.
+COVERED_MODELS = tuple(sorted(_BUILDERS))
+
+
 def spec_for(model_name: str) -> ArchSpec:
-    builders = {
-        "r2plus1d_18": lambda: r2plus1d_spec((2, 2, 2, 2)),
-        "r2plus1d_18_tpu": lambda: r2plus1d_spec((2, 2, 2, 2)),
-        "r2plus1d_34": lambda: r2plus1d_spec((3, 4, 6, 3)),
-        "r2plus1d_34_tpu": lambda: r2plus1d_spec((3, 4, 6, 3)),
-        "p3d_63": lambda: p3d_spec((3, 4, 6, 3)),
-        "p3d_131": lambda: p3d_spec((3, 4, 23, 3)),
-        "p3d_199": lambda: p3d_spec((3, 8, 36, 3)),
-        "c3d": c3d_spec,
-    }
-    if model_name not in builders:
+    if model_name not in _BUILDERS:
         raise KeyError(
-            f"serving/int8 engine covers {sorted(builders)}; "
+            f"serving/int8 engine covers {sorted(_BUILDERS)}; "
             f"got {model_name!r}")
-    return builders[model_name]()
-
-
-COVERED_MODELS = ("r2plus1d_18", "r2plus1d_18_tpu", "r2plus1d_34",
-                  "r2plus1d_34_tpu", "p3d_63", "p3d_131", "p3d_199", "c3d")
+    return _BUILDERS[model_name]()

@@ -21,7 +21,7 @@ from fastvideotagging_tpu.models import model_from_config
 from fastvideotagging_tpu.parallel import batch_sharding, make_mesh
 from fastvideotagging_tpu.train import lr as lr_lib
 from fastvideotagging_tpu.train.checkpoint import CheckpointManager
-from fastvideotagging_tpu.train.loop import make_sample_batch, make_train_step
+from fastvideotagging_tpu.train.loop import make_train_step
 from fastvideotagging_tpu.train.metrics import RunningMean
 from fastvideotagging_tpu.train.state import TrainState, create_train_state
 from fastvideotagging_tpu.utils.logging import MetricsLogger, get_logger
@@ -84,7 +84,6 @@ def fit(
     tx = lr_lib.make_optimizer(t_cfg, steps_per_epoch)
 
     rng = jax.random.PRNGKey(t_cfg.seed)
-    sample_batch = make_sample_batch(cfg, t_cfg.batch_size)
     # Initialize on a preprocessed-shape clip tensor.
     ch, cw = d_cfg.crop_hw
     sample_clips = np.zeros(

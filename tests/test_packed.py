@@ -152,6 +152,108 @@ class TestPackedDataset:
         assert isinstance(ds, ClipDataset) and not isinstance(ds, PackedDataset)
 
 
+class TestShipGeometry:
+    """source_hw configs: the pack must store SHIP-geometry frames so the
+    device-side float resize sees the same bytes as streaming (a
+    resize_hw-packed file would add a uint8 rounding the streaming path
+    does not have)."""
+
+    SRC_CFG = DataConfig(
+        source_hw=(48, 64),       # the synthetic videos' raw size
+        resize_hw=(40, 56),
+        crop_hw=(32, 32),
+        sampler=ClipSamplerConfig(clip_len=4, stride=2),
+        num_workers=2,
+    )
+
+    def test_resize_packed_file_rejected_for_source_hw_config(self, pack_env):
+        _, pack_path = pack_env  # packed at resize_hw (40, 56)
+        with pytest.raises(ValueError, match="ship geometry"):
+            PackedDataset(pack_path, self.SRC_CFG)
+
+    def test_ship_geometry_pack_bit_identical(self, pack_env, tmp_path):
+        records, _ = pack_env
+        pack_path = str(tmp_path / "ship.fvtpack")
+        write_pack(records, pack_path, self.SRC_CFG.source_hw)
+        stream = ClipDataset(records, self.SRC_CFG, mode="train", seed=3)
+        packed = PackedDataset(pack_path, self.SRC_CFG, mode="train", seed=3)
+        assert packed.ship_hw == stream.ship_hw == (48, 64)
+        got = list(train_batches(packed, 2, 0, num_workers=2))
+        want = list(train_batches(stream, 2, 0, num_workers=2))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            for k in w:
+                np.testing.assert_array_equal(g[k], w[k])
+
+
+class TestMultilabelPacks:
+    def test_class_pack_rejects_multilabel(self, pack_env):
+        """num_tags against a tag-less pack would silently train on
+        all-zero multihot targets — must raise instead."""
+        _, pack_path = pack_env
+        with pytest.raises(ValueError, match="tag lists"):
+            PackedDataset(pack_path, CFG, num_tags=5)
+
+    def test_tag_pack_carries_tags_and_num_tags(self, pack_env, tmp_path):
+        from fastvideotagging_tpu.cli.prepare import pack_lists
+        from fastvideotagging_tpu.data.ucf101 import load_tag_list
+
+        records, _ = pack_env
+        tag_file = tmp_path / "tags.txt"
+        tag_file.write_text("".join(
+            f"{os.path.basename(os.path.dirname(r.path))}/"
+            f"{os.path.basename(r.path)} tag_{i % 3},tag_{(i + 1) % 3}\n"
+            for i, r in enumerate(records)))
+        root = os.path.dirname(os.path.dirname(records[0].path))
+        stats = pack_lists([str(tag_file)], root, CFG.resize_hw,
+                           tag_lists=True)
+        pack_path = str(tmp_path / "tags.fvtpack")
+        assert os.path.exists(pack_path)
+        assert stats["tags.txt"]["videos"] == len(records)
+
+        tag_records, tag_index = load_tag_list(str(tag_file), root)
+        packed = PackedDataset(pack_path, CFG, mode="train", seed=5)
+        assert packed.num_tags == len(tag_index) == 3
+        stream = ClipDataset(tag_records, CFG, mode="train",
+                             num_tags=len(tag_index), seed=5)
+        got = list(train_batches(packed, 2, 0, num_workers=2))
+        want = list(train_batches(stream, 2, 0, num_workers=2))
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert "multihot" in g and g["multihot"].any()
+            for k in w:
+                np.testing.assert_array_equal(g[k], w[k])
+
+
+class TestTrainCliGuards:
+    def test_tag_lists_flag_rejected_on_class_pack(self, pack_env):
+        from fastvideotagging_tpu.cli import train as cli_train
+
+        _, pack_path = pack_env
+        with pytest.raises(SystemExit, match="no tag sets"):
+            cli_train.main([
+                "--model", "tiny3d", "--num-classes", "3",
+                "--resize", "40", "56", "--crop", "32", "32",
+                "--clip-len", "4", "--train-list", pack_path,
+                "--tag-lists", "--epochs", "1", "--batch-size", "2",
+            ])
+
+    def test_class_index_flag_rejected_on_pack(self, pack_env, tmp_path):
+        from fastvideotagging_tpu.cli import train as cli_train
+
+        _, pack_path = pack_env
+        cidx = tmp_path / "classInd.txt"
+        cidx.write_text("1 a\n")
+        with pytest.raises(SystemExit, match="pack time"):
+            cli_train.main([
+                "--model", "tiny3d", "--num-classes", "3",
+                "--resize", "40", "56", "--crop", "32", "32",
+                "--clip-len", "4", "--train-list", pack_path,
+                "--class-index", str(cidx), "--epochs", "1",
+                "--batch-size", "2",
+            ])
+
+
 class TestFitFromPack:
     def test_fit_consumes_pack_path(self, pack_env, tmp_path):
         """fit() trains end to end straight from a .fvtpack path."""
