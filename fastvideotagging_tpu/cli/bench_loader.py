@@ -71,14 +71,21 @@ def measure(videos=12, frames=64, size=(240, 320), clip_len=16, batch=8,
 
         # (3) the decode-once packed tier (data/packed.py): pack the same
         # records once, then the loader serves clips from the mmap with
-        # zero FFmpeg — the "Fast" path for real-video training.
+        # zero FFmpeg — the "Fast" path for real-video training. Packs must
+        # match the SHIP geometry, so this row uses a config without
+        # source_hw (ship == resize_hw — the intended packed deployment,
+        # minimal bytes per frame); the streaming rows above pin source_hw
+        # to measure the device-resize fast path.
+        import dataclasses
+
         from fastvideotagging_tpu.data.packed import PackedDataset, write_pack
 
+        cfg_packed = dataclasses.replace(cfg, source_hw=None)
         pack_path = f"{root}/bench.fvtpack"
         t0 = time.perf_counter()
-        write_pack(records, pack_path, cfg.resize_hw)
+        write_pack(records, pack_path, cfg_packed.resize_hw)
         pack_s = time.perf_counter() - t0
-        pds = PackedDataset(pack_path, cfg, mode="train")
+        pds = PackedDataset(pack_path, cfg_packed, mode="train")
         for _ in train_batches(pds, batch, 0, num_workers=workers):
             pass  # warm (page cache, thread pool)
         t0 = time.perf_counter()

@@ -27,7 +27,9 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     # model
     p.add_argument("--model", default=None, help="zoo name, e.g. r2plus1d_18")
     p.add_argument("--num-classes", type=int, default=None)
-    p.add_argument("--multilabel", action="store_true", default=None)
+    p.add_argument("--multilabel", action=argparse.BooleanOptionalAction,
+               default=None,
+               help="--no-multilabel overrides a preset's True")
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
     p.add_argument("--norm", choices=["batch", "frozen", "group"],
@@ -64,7 +66,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--grad-accum", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--resume", action="store_true", default=None)
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction,
+               default=None,
+               help="--no-resume overrides a preset's True")
     p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=None)

@@ -82,6 +82,15 @@ class ClipDataset:
     ):
         if mode not in ("train", "eval"):
             raise ValueError(f"mode must be train|eval, got {mode!r}")
+        if num_tags is not None and records and not any(
+                r.tags for r in records):
+            # Silent failure mode otherwise: every multihot target is
+            # all-zero and multilabel training converges to predicting no
+            # tags (same guard as PackedDataset for tag-less packs).
+            raise ValueError(
+                "multilabel (num_tags set) needs records with tag sets, "
+                "but no record carries any — parse the lists with "
+                "load_tag_list (cli.train --tag-lists), not as class lists")
         self.records = records
         self.cfg = data_cfg
         self.mode = mode

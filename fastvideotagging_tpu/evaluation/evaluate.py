@@ -111,10 +111,15 @@ def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
     dataset = open_dataset(val_records, cfg.data, mode="eval",
                            num_tags=num_tags)
     model = model_from_config(cfg.model)
+    # ONE jitted apply for the whole run — building it inside eval_fn would
+    # hand evaluate() a fresh lambda per epoch, missing jax's jit cache and
+    # recompiling the full backbone every epoch.
+    apply = _make_apply(model, cfg.model.multilabel)
 
     def eval_fn(state, epoch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        scalars = evaluate(model, variables, dataset, cfg, clip_batch)
+        scalars = evaluate(model, variables, dataset, cfg, clip_batch,
+                           apply_fn=apply)
         log.info("epoch %d eval: %s", epoch, scalars)
         return scalars
 

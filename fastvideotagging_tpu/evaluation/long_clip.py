@@ -56,18 +56,23 @@ def score_long_clip(model_factory, variables: dict, clips: jax.Array,
             f"{total_stride} (whole frames per shard at every stage)")
     sharded = model_factory(time_axis=time_axis)
 
-    def local_features(xl):
-        feats = sharded.apply(variables, xl, train=False, features_only=True)
+    # ``variables`` rides as a TRACED, replicated shard_map argument — a jit
+    # closure would hoist the full parameter tree into the lowered program
+    # as constants, which crashes the remote compile service for real-sized
+    # models (CLAUDE.md round-3 trap: HTTP 413 on closure-captured tensors).
+    def local_features(vs, xl):
+        feats = sharded.apply(vs, xl, train=False, features_only=True)
         # local sum over (T_local', H', W') + psum over the time axis ==
         # global average pool, f32 (matches layers.global_avg_pool_3d)
         s = jnp.sum(feats.astype(jnp.float32), axis=(1, 2, 3))
         s = jax.lax.psum(s, time_axis)
         return s
 
+    var_specs = jax.tree.map(lambda _: P(), variables)
     pooled_sum = jax.jit(shard_map(
         local_features, mesh=mesh,
-        in_specs=P(None, time_axis), out_specs=P(),
-    ))(clips)
+        in_specs=(var_specs, P(None, time_axis)), out_specs=P(),
+    ))(variables, clips)
 
     def halve(v, times):  # stride-2 symmetric conv: out = ceil(in / 2)
         for _ in range(times):

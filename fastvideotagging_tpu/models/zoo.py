@@ -92,13 +92,18 @@ def load_pretrained(name: str, weights_path: str, num_classes: int = 101,
 
 def _maybe_reinit_head(model: nn.Module, variables: dict, name: str,
                        clip_shape=(1, 16, 112, 112, 3)) -> dict:
-    """Replace a class-count-mismatched ``fc`` head with a fresh init."""
+    """Replace a class-count-mismatched classifier head with a fresh init.
+
+    The head layer is ``fc`` for the resnet-style zoo and ``fc8`` for C3D
+    (its fc6/fc7 are class-count-independent hidden layers)."""
     import jax
     import jax.numpy as jnp
 
-    fc = variables.get("params", {}).get("fc")
-    if fc is None:
+    params = variables.get("params", {})
+    head_key = next((k for k in ("fc", "fc8") if k in params), None)
+    if head_key is None:
         return variables
+    head = params[head_key]
 
     def init_fn():
         return model.init(jax.random.PRNGKey(0),
@@ -107,18 +112,18 @@ def _maybe_reinit_head(model: nn.Module, variables: dict, name: str,
     # Shape-only compare first (free); the real init — per-op eager compiles
     # cost seconds on this 1-core box — runs jitted and only on mismatch.
     want = jax.tree.map(lambda a: tuple(a.shape),
-                        jax.eval_shape(init_fn)["params"]["fc"])
-    got = jax.tree.map(lambda a: tuple(a.shape), fc)
+                        jax.eval_shape(init_fn)["params"][head_key])
+    got = jax.tree.map(lambda a: tuple(a.shape), head)
     if want != got:
         import logging
 
         logging.getLogger("fvt").info(
-            "%s: checkpoint head %s != model head %s — reinitializing fc "
-            "for fine-tune", name, got, want)
+            "%s: checkpoint head %s != model head %s — reinitializing %s "
+            "for fine-tune", name, got, want, head_key)
         fresh = jax.jit(init_fn)()
         variables = dict(variables)
         variables["params"] = dict(variables["params"])
-        variables["params"]["fc"] = fresh["params"]["fc"]
+        variables["params"][head_key] = fresh["params"][head_key]
     return variables
 
 

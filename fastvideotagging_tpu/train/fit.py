@@ -80,7 +80,16 @@ def fit(
     if cfg.parallel.model_parallel > 1:
         # channel/tensor parallelism over the model axis (SlowFast config)
         model_kw["shard_axis"] = cfg.parallel.model_axis
-    model = model_from_config(m_cfg, **model_kw)
+    try:
+        model = model_from_config(m_cfg, **model_kw)
+    except TypeError as e:
+        if "shard_axis" in str(e):
+            raise ValueError(
+                f"model {m_cfg.name!r} does not support "
+                f"model_parallel={cfg.parallel.model_parallel} (channel "
+                f"sharding needs a shard_axis-capable model — the slowfast "
+                f"family); use data_parallel only") from e
+        raise
     tx = lr_lib.make_optimizer(t_cfg, steps_per_epoch)
 
     rng = jax.random.PRNGKey(t_cfg.seed)

@@ -21,6 +21,13 @@ def multifactor_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedu
     """
     warmup_steps = (max(1, int(cfg.warmup_epochs * steps_per_epoch))
                     if cfg.warmup_epochs > 0 else 0)
+    if cfg.lr_steps and cfg.warmup_epochs >= min(cfg.lr_steps):
+        # A boundary at or before the end of warmup would otherwise clamp
+        # to <= 0 and silently apply that decay factor from the first
+        # post-warmup step.
+        raise ValueError(
+            f"warmup_epochs={cfg.warmup_epochs} must end before the first "
+            f"lr_steps decay epoch {min(cfg.lr_steps)}")
     boundaries = {
         int(e * steps_per_epoch) - warmup_steps: cfg.lr_decay
         for e in cfg.lr_steps

@@ -29,8 +29,8 @@ class GracefulStopper:
             signal.signal(signum, prev)
             if callable(prev):
                 prev(signum, frame)
-            else:
-                raise KeyboardInterrupt
+                return  # a returning prev handler must not re-arm us below
+            raise KeyboardInterrupt
         self.stop_requested = True
         log.warning("stop requested (signal %d) — will checkpoint and exit "
                     "at the next step boundary; repeat to force", signum)

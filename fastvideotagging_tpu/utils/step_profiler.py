@@ -262,24 +262,27 @@ def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), x0[:1], train=False)
 
+    # variables is a TRACED argument, not a jit closure — closure capture
+    # hoists the parameter tree into the program as constants and crashes
+    # the remote compile service for real-sized models (CLAUDE.md trap).
     @jax.jit
-    def step(xi):
-        y = model.apply(variables, xi, train=False)
+    def step(vs, xi):
+        y = model.apply(vs, xi, train=False)
         # evolving input: content-identical dispatches are deduped
         return xi + (jnp.tanh(y.sum()) * 1e-2).astype(xi.dtype)
 
-    hlo = step.lower(x0).compile().as_text()
+    hlo = step.lower(variables, x0).compile().as_text()
     fus, comp_convs = parse_hlo(hlo)
 
     def sync(x):
         float(jnp.asarray(x.reshape(-1)[0], jnp.float32))
 
-    c = step(x0)
+    c = step(variables, x0)
     sync(c)
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for _ in range(n_steps):
-            c = step(c)
+            c = step(variables, c)
         sync(c)
     dur = load_trace_durations(trace_dir, n_steps)
     return attribute(dur, fus, comp_convs)

@@ -1,0 +1,28 @@
+"""CLI flag semantics: boolean preset fields must be overridable BOTH ways
+(a store_true/default=None flag can never turn a preset's True off)."""
+
+from fastvideotagging_tpu.cli import train as cli_train
+from fastvideotagging_tpu.cli.common import build_config
+
+
+def test_no_multilabel_overrides_preset_true():
+    args = cli_train.parse_args(
+        ["--preset", "multilabel_tagging_1k", "--no-multilabel"])
+    assert build_config(args).model.multilabel is False
+
+
+def test_multilabel_flag_still_turns_on():
+    args = cli_train.parse_args(
+        ["--preset", "r2plus1d18_ucf101", "--multilabel"])
+    assert build_config(args).model.multilabel is True
+
+
+def test_omitted_flag_keeps_preset_value():
+    args = cli_train.parse_args(["--preset", "multilabel_tagging_1k"])
+    assert build_config(args).model.multilabel is True
+
+
+def test_no_resume_overrides():
+    args = cli_train.parse_args(
+        ["--preset", "r2plus1d18_ucf101", "--no-resume"])
+    assert build_config(args).train.resume is False

@@ -138,3 +138,16 @@ class TestLists:
         assert tag_index == {"cat": 0, "outdoor": 1, "dog": 2}
         assert recs[0].tags == (0, 1)
         np.testing.assert_array_equal(recs[2].multihot(3), [1, 0, 0])
+
+    def test_multilabel_dataset_rejects_tagless_records(self):
+        # num_tags over class-list records (tags=()) would silently train
+        # against all-zero multihot targets — the dataset must refuse.
+        from fastvideotagging_tpu.config import DataConfig
+        from fastvideotagging_tpu.data.pipeline import ClipDataset
+
+        recs = [ucf101.VideoRecord("a.mp4", 0), ucf101.VideoRecord("b.mp4", 1)]
+        with pytest.raises(ValueError, match="tag sets"):
+            ClipDataset(recs, DataConfig(), num_tags=5)
+        # one tagged record is enough to accept the dataset
+        ClipDataset(recs + [ucf101.VideoRecord("c.mp4", 0, tags=(1,))],
+                    DataConfig(), num_tags=5)

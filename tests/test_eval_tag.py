@@ -61,8 +61,13 @@ class TestEvaluate:
         np.testing.assert_array_equal(a, b)
 
     def test_multilabel_metrics(self, synthetic_dataset):
+        import dataclasses
+
         root, list_path = synthetic_dataset
-        records = load_video_list(list_path, root=root)[:3]
+        # multilabel eval needs TAGGED records (tag-less ones are rejected
+        # by the all-zero-multihot guard): derive tags from the class ids.
+        records = [dataclasses.replace(r, tags=(r.label,))
+                   for r in load_video_list(list_path, root=root)[:3]]
         cfg = eval_cfg(multilabel=True)
         model, variables = init_variables(cfg)
         ds = ClipDataset(records, cfg.data, mode="eval", num_tags=3)

@@ -147,6 +147,13 @@ class TestSchedules:
         assert float(sched(19)) == pytest.approx(0.1)
         assert float(sched(20)) == pytest.approx(0.01)
 
+    def test_warmup_overlapping_decay_epoch_rejected(self):
+        # A decay boundary inside warmup would clamp to <= 0 and apply the
+        # factor from the first post-warmup step — must raise instead.
+        cfg = TrainConfig(base_lr=0.1, warmup_epochs=12, lr_steps=(10, 20))
+        with pytest.raises(ValueError, match="warmup_epochs"):
+            lr_lib.multifactor_schedule(cfg, steps_per_epoch=10)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
