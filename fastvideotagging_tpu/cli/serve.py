@@ -15,6 +15,10 @@ or ``{"video", "error"}`` — a failing video never takes the daemon down
 
     python -m fastvideotagging_tpu.cli.serve --weights w_dir \
         --model r2plus1d_18 --num-classes 1000 --tag-names tags.txt [--int8]
+
+``--engine native --artifacts art/`` serves through the no-Python C++
+PJRT daemon instead (compiled once from a ``cli.export`` artifact dir;
+this process stays a host-only decode front-end).
 """
 
 from __future__ import annotations
@@ -34,8 +38,17 @@ log = get_logger("fvt.serve")
 def parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_flags(p)
-    p.add_argument("--weights", required=True,
-                   help="weights dir from export_weights / orbax")
+    p.add_argument("--weights", default=None,
+                   help="weights dir from export_weights / orbax "
+                        "(required with --engine jax)")
+    p.add_argument("--engine", choices=["jax", "native"], default="jax",
+                   help="jax: in-process engine from --weights. native: the "
+                        "no-Python C++ PJRT daemon (pjrt_runner --serve) "
+                        "compiled from an export-CLI --artifacts dir; model/"
+                        "data flags are then baked in and ignored")
+    p.add_argument("--artifacts", default=None,
+                   help="cli.export output dir (required with "
+                        "--engine native)")
     p.add_argument("--tag-names", default=None,
                    help="text file, one tag name per line (row = class id)")
     p.add_argument("--threshold", type=float, default=0.5)
@@ -84,6 +97,12 @@ def serve(tagger: Tagger, requests, out, threshold: float = 0.5,
             }) + "\n")
             n_ok += 1
         except Exception as e:  # per-request fault isolation
+            from fastvideotagging_tpu.native.pjrt import NativeServerDied
+
+            if isinstance(e, NativeServerDied):
+                # the engine itself is gone — every further request would
+                # error too; fail fast instead of flooding error lines
+                raise
             log.warning("serve: request failed for %r: %s", video or line, e)
             out.write(json.dumps(
                 {"video": video or line.strip(), "error": str(e)}) + "\n")
@@ -94,22 +113,39 @@ def serve(tagger: Tagger, requests, out, threshold: float = 0.5,
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = build_config(args)
 
     tag_names = None
     if args.tag_names:
         with open(args.tag_names) as f:
             tag_names = [line.strip() for line in f if line.strip()]
 
-    variables = load_weights(args.weights)
-    tagger = Tagger(cfg, variables, tag_names, clip_batch=args.clip_batch,
-                    int8=args.int8)
-    if args.warmup:
-        tagger.tag(args.warmup, top_k=1)
-    print("ready", file=sys.stderr, flush=True)
-    stats = serve(tagger, sys.stdin, sys.stdout,
-                  threshold=args.threshold, top_k=args.top_k)
-    log.info("serve: done %s", stats)
+    if args.engine == "native":
+        if not args.artifacts:
+            raise SystemExit("--engine native needs --artifacts (an export-"
+                             "CLI output dir)")
+        if args.int8:
+            raise SystemExit("--int8 is baked at export time for the native "
+                             "engine (cli.export --int8)")
+        from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
+
+        tagger = NativeTagger(args.artifacts, tag_names=tag_names)
+    else:
+        if not args.weights:
+            raise SystemExit("--engine jax needs --weights")
+        cfg = build_config(args)
+        variables = load_weights(args.weights)
+        tagger = Tagger(cfg, variables, tag_names,
+                        clip_batch=args.clip_batch, int8=args.int8)
+    try:
+        if args.warmup:
+            tagger.tag(args.warmup, top_k=1)
+        print("ready", file=sys.stderr, flush=True)
+        stats = serve(tagger, sys.stdin, sys.stdout,
+                      threshold=args.threshold, top_k=args.top_k)
+        log.info("serve: done %s", stats)
+    finally:
+        if hasattr(tagger, "close"):
+            tagger.close()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""tag(video) over the native C++ PJRT daemon (SURVEY.md §6.4 native tier).
+
+The Python side here is a pure HOST front-end: decode + clip sampling +
+request framing (numpy only — it never creates a jax device client, so it
+coexists with the one-TPU-client tunnel rule). All device work — staging,
+the fused preprocess+backbone+head program, readback — happens in the
+long-running ``pjrt_runner --serve`` child, compiled ONCE from the
+``cli.export`` artifact directory (serving.stablehlo + meta.json).
+
+    with NativeTagger("art/") as t:
+        results = t.tag("video.mp4", threshold=0.5)
+
+Aggregation semantics (dense sampling, f64 accumulation, mean over clips)
+are shared with the in-process Tagger via ``stream_video_scores`` — the
+two engines are parity-tested against each other on-chip
+(tests/test_native_pjrt.py, FVT_NATIVE_SERVING gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+
+from fastvideotagging_tpu.config import ClipSamplerConfig
+from fastvideotagging_tpu.evaluation.tagger import (
+    TagResult,
+    rank_tags,
+    stream_video_scores,
+)
+from fastvideotagging_tpu.native.pjrt import NativeServer
+
+
+class NativeTagger:
+    """Video tagger backed by the no-Python native serving daemon."""
+
+    def __init__(self, artifacts_dir: str, tag_names: list[str] | None = None,
+                 workdir: str | None = None, plugin: str | None = None,
+                 client_options: dict | None = None,
+                 ready_timeout: float = 600.0):
+        meta_path = os.path.join(artifacts_dir, "meta.json")
+        module = os.path.join(artifacts_dir, "serving.stablehlo")
+        if not os.path.exists(meta_path) or not os.path.exists(module):
+            raise FileNotFoundError(
+                f"{artifacts_dir!r} is not an export-CLI artifact dir "
+                "(need meta.json + serving.stablehlo; create with "
+                "`python -m fastvideotagging_tpu.cli.export ... "
+                "--format stablehlo|both`)")
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        shape = tuple(self.meta["input"]["shape"])  # (B, T, H, W, 3)
+        self.clip_batch = shape[0]
+        self.ship_hw = (shape[2], shape[3])
+        self.num_classes = int(self.meta["num_classes"])
+        self.sampler_cfg = ClipSamplerConfig(**self.meta["sampler"])
+        self.tag_names = (tag_names or self.meta.get("tag_names")
+                          or [f"tag_{i}" for i in range(self.num_classes)])
+        if len(self.tag_names) != self.num_classes:
+            raise ValueError(f"{len(self.tag_names)} tag names for "
+                             f"{self.num_classes} classes")
+        self.workdir = workdir or tempfile.mkdtemp(prefix="fvt_native_serve_")
+        self.server = NativeServer(
+            module, [(shape, np.uint8)], self.workdir, plugin=plugin,
+            client_options=client_options, ready_timeout=ready_timeout)
+
+    def _score_u8(self, clips_u8: np.ndarray, nclips: int) -> np.ndarray:
+        return self.server.request([clips_u8])[0][:nclips]
+
+    def video_scores(self, video_path: str) -> np.ndarray:
+        return stream_video_scores(
+            video_path, self.sampler_cfg, self.ship_hw, self.num_classes,
+            self.clip_batch, self._score_u8)
+
+    def scores_from(self, read_frames, n_frames: int) -> np.ndarray:
+        """Aggregated scores from an arbitrary frame source (e.g. a pack)."""
+        from fastvideotagging_tpu.evaluation.tagger import scores_from_frames
+
+        return scores_from_frames(
+            read_frames, n_frames, self.sampler_cfg, self.ship_hw,
+            self.num_classes, self.clip_batch, self._score_u8)
+
+    def tag(self, video_path: str, threshold: float = 0.5,
+            top_k: int | None = None) -> list[TagResult]:
+        return rank_tags(self.video_scores(video_path), self.tag_names,
+                         threshold=threshold, top_k=top_k)
+
+    def close(self) -> None:
+        self.server.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -32,6 +32,72 @@ class TagResult:
     index: int
 
 
+def scores_from_frames(read_frames, n_frames: int, sampler_cfg, ship_hw,
+                       num_classes: int, clip_batch: int,
+                       score_u8) -> np.ndarray:
+    """The clip-aggregation loop shared by every serving engine and
+    frame source (streaming decode, packed mmap).
+
+    Dense/uniform clip sampling over ``n_frames``, fixed-size uint8
+    chunks padded to ``clip_batch`` (one compiled shape), f64 score
+    accumulation, mean over clips — the aggregation semantics all engines
+    (jax, int8, native PJRT) must share bit-for-bit.
+    ``read_frames(flat_idx)`` returns uint8 frames at any geometry
+    (resized to ``ship_hw`` here if needed); ``score_u8(clips_u8,
+    nclips)`` returns scores ``(nclips, num_classes)`` for the first
+    ``nclips`` (non-padding) clips of the chunk.
+    """
+    s = sampler_cfg
+    clip_idx = sampler.sample_eval_indices(
+        max(int(n_frames), 1), s.clip_len, s.stride, mode=s.eval_mode,
+        num_clips=s.num_eval_clips,
+    )  # (K, T)
+    k = clip_idx.shape[0]
+    total = np.zeros((num_classes,), np.float64)
+    for i in range(0, k, clip_batch):
+        chunk_idx = clip_idx[i : i + clip_batch]
+        nclips, t = chunk_idx.shape
+        flat = read_frames(chunk_idx.reshape(-1))
+        flat = _ensure_size(flat, ship_hw)
+        clips_u8 = flat.reshape((nclips, t) + flat.shape[1:])
+        if nclips < clip_batch:  # pad to the compiled shape
+            pad = np.zeros(
+                (clip_batch - nclips,) + clips_u8.shape[1:], np.uint8)
+            clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+        scores = score_u8(clips_u8, nclips)
+        total += np.asarray(scores).astype(np.float64).sum(axis=0)
+    return (total / k).astype(np.float32)
+
+
+def stream_video_scores(video_path: str, sampler_cfg, ship_hw,
+                        num_classes: int, clip_batch: int,
+                        score_u8) -> np.ndarray:
+    """scores_from_frames over one forward decode pass of a video file
+    (O(video), overlap cache)."""
+    s = sampler_cfg
+    n, _, _, _ = decode.probe_video(video_path)
+    span = (s.clip_len - 1) * s.stride + 1
+    with decode.SequentialReader(
+            video_path, cache_size=max(128, 2 * span)) as reader:
+        return scores_from_frames(reader.read, n, sampler_cfg, ship_hw,
+                                  num_classes, clip_batch, score_u8)
+
+
+def rank_tags(scores: np.ndarray, tag_names: list[str],
+              threshold: float = 0.5,
+              top_k: int | None = None) -> list[TagResult]:
+    """scores -> sorted [(tag, score, index), ...] above threshold."""
+    order = np.argsort(-scores, kind="stable")
+    results = [
+        TagResult(tag_names[i], float(scores[i]), int(i))
+        for i in order
+        if scores[i] >= threshold
+    ]
+    if top_k is not None:
+        results = results[:top_k]
+    return results
+
+
 class Tagger:
     """Reusable tagger: holds the model, weights, and compiled forward."""
 
@@ -79,72 +145,83 @@ class Tagger:
             self._int8_apply = make_int8_engine(
                 cfg.model.name, multilabel=cfg.model.multilabel)
 
+    @property
+    def sampler_cfg(self):
+        return self.cfg.data.sampler
+
+    @property
+    def ship_hw(self):
+        return self.cfg.data.source_hw or self.cfg.data.resize_hw
+
+    @property
+    def num_classes(self) -> int:
+        return self.cfg.model.num_classes
+
     def video_scores(self, video_path: str) -> np.ndarray:
         """Aggregated per-tag scores for one video, streaming over clips."""
-        d = self.cfg.data
-        s = d.sampler
-        n, _, _, _ = decode.probe_video(video_path)
-        clip_idx = sampler.sample_eval_indices(
-            max(int(n), 1), s.clip_len, s.stride, mode=s.eval_mode,
-            num_clips=s.num_eval_clips,
-        )  # (K, T)
-        k = clip_idx.shape[0]
-        total = np.zeros((self.cfg.model.num_classes,), np.float64)
-        ship_hw = d.source_hw or d.resize_hw
-        # One forward decode pass over the whole video (O(video) total, not
-        # O(video^2) from reopening per chunk) with a small overlap cache.
-        span = (s.clip_len - 1) * s.stride + 1
         self._qpack = None  # recalibrate per video (engine stays compiled)
-        with decode.SequentialReader(
-                video_path, cache_size=max(128, 2 * span)) as reader:
-            total = self._score_chunks(reader, clip_idx, ship_hw, total)
-        return (total / k).astype(np.float32)
+        return stream_video_scores(
+            video_path, self.sampler_cfg, self.ship_hw, self.num_classes,
+            self.clip_batch, self._score_u8)
 
-    def _score_chunks(self, reader, clip_idx, ship_hw, total):
+    def scores_from(self, read_frames, n_frames: int) -> np.ndarray:
+        """Aggregated scores from an arbitrary frame source (e.g. a pack)."""
+        self._qpack = None  # recalibrate per video (engine stays compiled)
+        return scores_from_frames(
+            read_frames, n_frames, self.sampler_cfg, self.ship_hw,
+            self.num_classes, self.clip_batch, self._score_u8)
+
+    def _score_u8(self, clips_u8: np.ndarray, nclips: int) -> np.ndarray:
         d = self.cfg.data
-        k = clip_idx.shape[0]
-        for i in range(0, k, self.clip_batch):
-            chunk_idx = clip_idx[i : i + self.clip_batch]
-            nclips, t = chunk_idx.shape
-            flat = reader.read(chunk_idx.reshape(-1))
-            flat = _ensure_size(flat, ship_hw)
-            clips_u8 = flat.reshape((nclips, t) + flat.shape[1:])
-            if nclips < self.clip_batch:  # pad to the compiled shape
-                pad = np.zeros((self.clip_batch - nclips,) + clips_u8.shape[1:],
-                               np.uint8)
-                clips_u8 = np.concatenate([clips_u8, pad], axis=0)
-            clips = preprocess_eval_clip(
-                clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
-                out_dtype_name=self.cfg.model.compute_dtype,
-            )
-            if self.int8:
-                if self._qpack is None:
-                    from fastvideotagging_tpu.evaluation.quantized import (
-                        quantize_for,
-                    )
+        clips = preprocess_eval_clip(
+            clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
+            out_dtype_name=self.cfg.model.compute_dtype,
+        )
+        if self.int8:
+            if self._qpack is None:
+                from fastvideotagging_tpu.evaluation.quantized import (
+                    quantize_for,
+                )
 
-                    self._qpack = quantize_for(
-                        self.cfg.model.name, self.variables, [clips])
-                scores = np.asarray(
-                    self._int8_apply(self._qpack, clips))[:nclips]
-            else:
-                scores = np.asarray(
-                    self._apply(self.variables, clips))[:nclips]
-            total += scores.astype(np.float64).sum(axis=0)
-        return total
+                self._qpack = quantize_for(
+                    self.cfg.model.name, self.variables, [clips])
+            return np.asarray(self._int8_apply(self._qpack, clips))[:nclips]
+        return np.asarray(self._apply(self.variables, clips))[:nclips]
 
     def tag(self, video_path: str, threshold: float = 0.5,
             top_k: int | None = None) -> list[TagResult]:
-        scores = self.video_scores(video_path)
-        order = np.argsort(-scores, kind="stable")
-        results = [
-            TagResult(self.tag_names[i], float(scores[i]), int(i))
-            for i in order
-            if scores[i] >= threshold
-        ]
-        if top_k is not None:
-            results = results[:top_k]
-        return results
+        return rank_tags(self.video_scores(video_path), self.tag_names,
+                         threshold=threshold, top_k=top_k)
+
+
+def iter_pack_tags(engine, pack, threshold: float = 0.5,
+                   top_k: int | None = None, root: str = ""):
+    """Bulk-tag every video in a ``.fvtpack`` — the decode-once backfill
+    tier: zero FFmpeg per request, frames served from mmap at the pack's
+    measured 1793 clips/s (PERF.md), feeding any engine that exposes
+    ``scores_from`` (Tagger incl. int8, NativeTagger).
+
+    Sampling parity with the streaming ``tag()`` holds by construction:
+    the pack stores ship-geometry frames from the same decode+resize path
+    and ``probe_frames`` (the container-reported count the streaming
+    sampler draws indices from). Yields ``(video_path, [TagResult, ...])``
+    per video in pack order (paths joined onto ``root``, the same
+    convention as the pack-consuming loaders).
+    """
+    from fastvideotagging_tpu.data.packed import Pack
+
+    pack = pack if isinstance(pack, Pack) else Pack(pack)
+    ship = tuple(engine.ship_hw)
+    if (pack.height, pack.width) != ship:
+        raise ValueError(
+            f"pack geometry {pack.height}x{pack.width} != the engine's ship "
+            f"geometry {ship}; re-run cli.prepare --pack at this config")
+    for i, rec in enumerate(pack.records(root)):
+        scores = engine.scores_from(
+            lambda idx, _i=i: pack.gather(_i, idx),
+            pack.entries[i]["probe_frames"])
+        yield rec.path, rank_tags(scores, engine.tag_names,
+                                  threshold=threshold, top_k=top_k)
 
 
 def tag(

@@ -108,6 +108,33 @@ def plugin_client_options(backend: str | None = None) -> dict:
     return opts
 
 
+def plugin_client_options_for(plugin_path: str,
+                              backend: str | None = None) -> dict:
+    """Client-create options for a specific plugin .so.
+
+    Tries the backend named by the plugin filename (libaxon_pjrt.so ->
+    'axon') before the process's JAX_PLATFORMS — the two diverge exactly
+    in the hermetic test harness, where conftest pins JAX_PLATFORMS=cpu
+    but the native child still drives the TPU plugin.
+    """
+    import re
+
+    cands = []
+    if backend:
+        cands.append(backend)
+    m = re.match(r"lib(\w+?)_pjrt", os.path.basename(plugin_path))
+    if m:
+        cands.append(m.group(1))
+    envb = os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+    if envb:
+        cands.append(envb)
+    for b in cands:
+        opts = plugin_client_options(b)
+        if opts:
+            return opts
+    return {}
+
+
 def _dtype_tag(arr: np.ndarray) -> str:
     for tag, dt in _DTYPES.items():
         if arr.dtype == dt:
@@ -148,7 +175,7 @@ def run_serving(module_path: str, inputs: list[np.ndarray],
     if bench > 1:
         cmd += ["--bench", str(bench)]
     if client_options is None:
-        client_options = plugin_client_options()
+        client_options = plugin_client_options_for(plugin)
     for k, v in client_options.items():
         tag = "int" if isinstance(v, (bool, int)) else "str"
         cmd += ["--client-option", f"{k}={tag}:{int(v) if tag == 'int' else v}"]
@@ -177,3 +204,146 @@ def run_serving(module_path: str, inputs: list[np.ndarray],
     if bench > 1:
         return outs, summary.get("bench")
     return outs
+
+
+class NativeServerDied(RuntimeError):
+    """The pjrt_runner --serve child exited; the server is unusable.
+
+    Raised instead of a plain RuntimeError so request-loop callers
+    (cli.serve) can fail FAST — a dead daemon would otherwise turn every
+    remaining request of a backfill into an error line."""
+
+
+def _load_outputs(entries) -> list[np.ndarray]:
+    outs = []
+    for o in entries:
+        dt = _DTYPES.get(o["dtype"])
+        if dt is None:
+            raise TypeError(f"runner returned unsupported dtype {o['dtype']}")
+        outs.append(np.fromfile(o["file"], dtype=dt).reshape(o["shape"]))
+    return outs
+
+
+class NativeServer:
+    """Long-running native serving daemon over ``pjrt_runner --serve``.
+
+    Compiles the exported StableHLO module ONCE in a no-Python child
+    process, then answers requests over a stdin/stdout line protocol —
+    the deployment tier behind ``cli.serve --engine native``. Python only
+    writes raw input files and parses one JSON line per request; all
+    device work (staging, execute, readback) happens in the C++ runner.
+
+        with NativeServer(module, [((2, 4, 40, 56, 3), np.uint8)], wd) as s:
+            scores, = s.request([clips_u8])
+
+    Note the ONE-TPU-CLIENT rule: while this server is alive no jax TPU
+    client may exist in any process (CLAUDE.md); the front-end keeps to
+    host-side numpy work.
+    """
+
+    def __init__(self, module_path: str, specs, workdir: str,
+                 plugin: str | None = None, client_options: dict | None = None,
+                 ready_timeout: float = 600.0):
+        import threading
+        import time
+
+        plugin = plugin or default_plugin()
+        if plugin is None:
+            raise RuntimeError("no PJRT plugin .so found on this machine")
+        binary = build_runner()
+        os.makedirs(workdir, exist_ok=True)
+        self.workdir = workdir
+        self.specs = [(tuple(shape), np.dtype(dt)) for shape, dt in specs]
+        self._req_id = 0
+        opts_path = os.path.join(workdir, "compile_options.pb")
+        make_compile_options(opts_path)
+        cmd = [binary, "--plugin", plugin, "--module", module_path,
+               "--serve", "--output", os.path.join(workdir, "out"),
+               "--compile-options", opts_path]
+        for shape, dt in self.specs:
+            tag = _dtype_tag(np.empty((0,), dt))
+            cmd += ["--serve-input",
+                    f"{tag}:{','.join(str(d) for d in shape)}"]
+        if client_options is None:
+            client_options = plugin_client_options_for(plugin)
+        for k, v in client_options.items():
+            tag = "int" if isinstance(v, (bool, int)) else "str"
+            cmd += ["--client-option",
+                    f"{k}={tag}:{int(v) if tag == 'int' else v}"]
+        self._proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        # stderr drains on a thread (compile logs may precede "ready")
+        self._ready = threading.Event()
+        self._stderr: list[str] = []
+
+        def _drain():
+            for line in self._proc.stderr:
+                if line.strip() == "ready":
+                    self._ready.set()
+                else:
+                    self._stderr.append(line)
+            self._ready.set()  # EOF: unblock waiters (startup failure)
+
+        self._drainer = threading.Thread(target=_drain, daemon=True)
+        self._drainer.start()
+        deadline = time.monotonic() + ready_timeout
+        while not self._ready.wait(timeout=min(1.0, ready_timeout)):
+            if time.monotonic() > deadline:
+                self.close()
+                raise TimeoutError("native server never became ready")
+        if self._proc.poll() is not None:
+            raise NativeServerDied(
+                "native server died during startup:\n"
+                + "".join(self._stderr))
+
+    def request(self, inputs) -> list[np.ndarray]:
+        """One synchronous request: arrays in (matching specs) -> outputs."""
+        if len(inputs) != len(self.specs):
+            raise ValueError(
+                f"{len(inputs)} inputs for {len(self.specs)} specs")
+        rid = self._req_id
+        self._req_id += 1
+        paths = []
+        for i, (arr, (shape, dt)) in enumerate(zip(inputs, self.specs)):
+            arr = np.ascontiguousarray(arr, dtype=dt)
+            if arr.shape != shape:
+                raise ValueError(
+                    f"input {i} shape {arr.shape} != spec {shape}")
+            path = os.path.join(self.workdir, f"req{rid}_in{i}.bin")
+            arr.tofile(path)
+            paths.append(path)
+        try:
+            self._proc.stdin.write(" ".join(paths) + "\n")
+            self._proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            raise NativeServerDied(
+                "native server exited:\n" + "".join(self._stderr))
+        line = self._proc.stdout.readline()
+        for p in paths:
+            os.unlink(p)
+        if not line:
+            raise NativeServerDied(
+                "native server exited:\n" + "".join(self._stderr))
+        reply = json.loads(line)
+        if "error" in reply:
+            raise ValueError(f"native server request failed: {reply['error']}")
+        outs = _load_outputs(reply["outputs"])
+        for o in reply["outputs"]:
+            os.unlink(o["file"])
+        return outs
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            try:
+                self._proc.stdin.close()
+                self._proc.wait(timeout=30)
+            except Exception:
+                self._proc.kill()
+                self._proc.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

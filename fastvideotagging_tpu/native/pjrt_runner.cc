@@ -11,13 +11,24 @@
 // builds it on demand with g++ against the PJRT C API header and uses it in
 // tests to cross-check outputs bit-for-bit against the in-process jax path.
 //
-// Usage:
+// Usage (one-shot):
 //   pjrt_runner --plugin libfoo_pjrt.so --module model.stablehlo.mlir \
 //       --input u8:8,16,128,171,3:clips.bin [--input ...] \
 //       --compile-options opts.pb --output out
 //
 // Writes one raw little-endian file per program output: out.0, out.1, ...
 // and prints a one-line JSON summary to stdout.
+//
+// Usage (daemon): compile ONCE, then serve requests line-by-line from
+// stdin — the long-running native deployment tier (a video front-end
+// keeps this process warm instead of paying compile per batch):
+//   pjrt_runner --plugin P.so --module M.mlir --serve \
+//       --serve-input u8:8,16,128,171,3 [--serve-input ...] --output out
+// After compiling it prints "ready" to stderr; each stdin line is
+// whitespace-separated raw input file paths (one per --serve-input, in
+// order); each request answers with one JSON line on stdout naming the
+// output files (out.req<N>.<i>). A malformed request (missing/short
+// file, wrong arg count) answers {"error": ...} and the daemon lives on.
 
 #include <dlfcn.h>
 #include <stdarg.h>
@@ -91,9 +102,21 @@ struct InputSpec {
   PJRT_Buffer_Type type;
   size_t elem_bytes;
   std::vector<int64_t> dims;
-  std::string data;  // bench_n concatenated instances
+  std::string data;  // bench_n concatenated instances (empty in serve mode)
   size_t instance_bytes;
 };
+
+bool TryReadFile(const std::string& path, std::string* out) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  out->assign(n, '\0');
+  bool ok = !n || fread(&(*out)[0], 1, n, f) == (size_t)n;
+  fclose(f);
+  return ok;
+}
 
 double NowSec() {
   struct timespec ts;
@@ -110,18 +133,14 @@ PJRT_Buffer_Type ParseType(const std::string& s, size_t* elem_bytes) {
   Die("unsupported input dtype %s (u8|s32|f32|bf16|pred)", s.c_str());
 }
 
-// "u8:8,16,128,171,3:clips.bin" -> InputSpec. With bench_n > 1 the file
-// holds bench_n CONCATENATED instances (distinct contents per instance —
-// the runtime dedupes identical dispatches, so benchmark iterations must
-// differ in content).
-InputSpec ParseInput(const std::string& spec, size_t bench_n) {
+// "u8:8,16,128,171,3" -> shape-only InputSpec (serve mode).
+InputSpec ParseShape(const std::string& spec) {
   size_t c1 = spec.find(':');
-  size_t c2 = spec.rfind(':');
-  if (c1 == std::string::npos || c2 == c1)
-    Die("bad --input %s (want dtype:d0,d1,...:file)", spec.c_str());
+  if (c1 == std::string::npos)
+    Die("bad input spec %s (want dtype:d0,d1,...)", spec.c_str());
   InputSpec in;
   in.type = ParseType(spec.substr(0, c1), &in.elem_bytes);
-  std::string dims = spec.substr(c1 + 1, c2 - c1 - 1);
+  std::string dims = spec.substr(c1 + 1);
   size_t pos = 0, n = 1;
   while (pos < dims.size()) {
     size_t comma = dims.find(',', pos);
@@ -130,8 +149,20 @@ InputSpec ParseInput(const std::string& spec, size_t bench_n) {
     n *= in.dims.back();
     pos = comma + 1;
   }
-  in.data = ReadFile(spec.substr(c2 + 1));
   in.instance_bytes = n * in.elem_bytes;
+  return in;
+}
+
+// "u8:8,16,128,171,3:clips.bin" -> InputSpec. With bench_n > 1 the file
+// holds bench_n CONCATENATED instances (distinct contents per instance —
+// the runtime dedupes identical dispatches, so benchmark iterations must
+// differ in content).
+InputSpec ParseInput(const std::string& spec, size_t bench_n) {
+  size_t c2 = spec.rfind(':');
+  if (c2 == std::string::npos || spec.find(':') == c2)
+    Die("bad --input %s (want dtype:d0,d1,...:file)", spec.c_str());
+  InputSpec in = ParseShape(spec.substr(0, c2));
+  in.data = ReadFile(spec.substr(c2 + 1));
   if (in.data.size() != in.instance_bytes * bench_n)
     Die("input file size %zu != expected %zu (x%zu instances) for %s",
         in.data.size(), in.instance_bytes, bench_n, spec.c_str());
@@ -154,7 +185,8 @@ const char* TypeName(PJRT_Buffer_Type t) {
 int main(int argc, char** argv) {
   std::string plugin, module_path, out_prefix = "out", options_path;
   size_t bench_n = 1;
-  std::vector<std::string> input_specs;
+  bool serve = false;
+  std::vector<std::string> input_specs, serve_specs;
   // Plugin client-create options ("key=str:value" / "key=int:value") — some
   // plugins (e.g. pool-scheduled TPU plugins) require NamedValue options.
   std::vector<std::pair<std::string, std::string>> raw_opts;
@@ -177,6 +209,8 @@ int main(int argc, char** argv) {
         Die("--bench needs >= 6 instances (1 warmup + short/long batches "
             "with a meaningful slope); got %zu", bench_n);
     }
+    else if (a == "--serve") serve = true;
+    else if (a == "--serve-input") serve_specs.push_back(next());
     else if (a == "--client-option") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -189,12 +223,19 @@ int main(int argc, char** argv) {
              "[--bench N]\n"
              "--bench N: each input file holds N concatenated instances "
              "with DISTINCT contents; reports dedupe-proof two-point-slope "
-             "throughput over disjoint short/long batches.\n");
+             "throughput over disjoint short/long batches.\n"
+             "--serve: compile once, then read one request per stdin line "
+             "(whitespace-separated raw input files, one per --serve-input "
+             "dtype:dims spec, in order); answers one JSON line each.\n");
       return 0;
     } else Die("unknown arg %s", a.c_str());
   }
   if (plugin.empty() || module_path.empty())
     Die("--plugin and --module are required (see --help)");
+  if (serve && (bench_n > 1 || !input_specs.empty()))
+    Die("--serve takes --serve-input specs, not --input/--bench");
+  if (serve && serve_specs.empty())
+    Die("--serve needs at least one --serve-input dtype:d0,d1,... spec");
 
   std::vector<PJRT_NamedValue> create_opts;
   std::vector<std::string> opt_store;  // stable storage for strings
@@ -278,28 +319,35 @@ int main(int argc, char** argv) {
   Check(g_api->PJRT_Client_Compile(&comp), "PJRT_Client_Compile");
   PJRT_LoadedExecutable* exec = comp.executable;
 
+  // Stage one host array onto the device (blocking until safe to reuse
+  // the host memory).
+  auto stage = [&](const InputSpec& in, const char* data) -> PJRT_Buffer* {
+    PJRT_Client_BufferFromHostBuffer_Args b;
+    memset(&b, 0, sizeof(b));
+    b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    b.client = client;
+    b.data = data;
+    b.type = in.type;
+    b.dims = in.dims.data();
+    b.num_dims = in.dims.size();
+    b.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    b.device = device;
+    Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
+          "PJRT_Client_BufferFromHostBuffer");
+    AwaitEvent(b.done_with_host_buffer, "host buffer transfer");
+    return b.buffer;
+  };
+
   // Stage inputs: args_sets[inst] is one full argument list; with --bench N
   // there are N sets with distinct contents (dedupe-proof iterations).
+  // (Serve mode stages per request instead.)
   std::vector<std::vector<PJRT_Buffer*>> args_sets(bench_n);
   for (const std::string& spec : input_specs) {
     InputSpec in = ParseInput(spec, bench_n);
-    for (size_t inst = 0; inst < bench_n; ++inst) {
-      PJRT_Client_BufferFromHostBuffer_Args b;
-      memset(&b, 0, sizeof(b));
-      b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-      b.client = client;
-      b.data = in.data.data() + inst * in.instance_bytes;
-      b.type = in.type;
-      b.dims = in.dims.data();
-      b.num_dims = in.dims.size();
-      b.host_buffer_semantics =
-          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-      b.device = device;
-      Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
-            "PJRT_Client_BufferFromHostBuffer");
-      AwaitEvent(b.done_with_host_buffer, "host buffer transfer");
-      args_sets[inst].push_back(b.buffer);
-    }
+    for (size_t inst = 0; inst < bench_n; ++inst)
+      args_sets[inst].push_back(
+          stage(in, in.data.data() + inst * in.instance_bytes));
   }
   std::vector<PJRT_Buffer*>& args_bufs = args_sets[0];
 
@@ -370,6 +418,117 @@ int main(int argc, char** argv) {
     }
   };
 
+  // Fetch each output to host, write <prefix>.<i>, print the JSON array
+  // (shared by the one-shot and serve paths).
+  auto print_outputs = [&](std::vector<PJRT_Buffer*>& outs,
+                           const std::string& prefix) {
+    printf("[");
+    for (size_t i = 0; i < num_outputs; ++i) {
+      PJRT_Buffer_ToHostBuffer_Args th;
+      memset(&th, 0, sizeof(th));
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = outs[i];
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "size query");
+      std::string host(th.dst_size, '\0');
+      th.dst = &host[0];
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
+      AwaitEvent(th.event, "device->host copy");
+
+      PJRT_Buffer_Dimensions_Args bd;
+      memset(&bd, 0, sizeof(bd));
+      bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+      bd.buffer = outs[i];
+      Check(g_api->PJRT_Buffer_Dimensions(&bd), "PJRT_Buffer_Dimensions");
+      PJRT_Buffer_ElementType_Args et;
+      memset(&et, 0, sizeof(et));
+      et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+      et.buffer = outs[i];
+      Check(g_api->PJRT_Buffer_ElementType(&et), "PJRT_Buffer_ElementType");
+
+      char path[4096];
+      snprintf(path, sizeof(path), "%s.%zu", prefix.c_str(), i);
+      FILE* f = fopen(path, "wb");
+      if (!f) Die("cannot write %s", path);
+      fwrite(host.data(), 1, host.size(), f);
+      fclose(f);
+
+      printf("%s{\"file\": \"%s\", \"dtype\": \"%s\", \"shape\": [",
+             i ? ", " : "", path, TypeName(et.type));
+      for (size_t d = 0; d < bd.num_dims; ++d)
+        printf("%s%lld", d ? ", " : "", (long long)bd.dims[d]);
+      printf("], \"bytes\": %zu}", host.size());
+    }
+    printf("]");
+  };
+
+  if (serve) {
+    std::vector<InputSpec> specs;
+    for (const std::string& s : serve_specs) specs.push_back(ParseShape(s));
+    fprintf(stderr, "ready\n");
+    fflush(stderr);
+    char* line = nullptr;
+    size_t cap = 0;
+    size_t req_id = 0;
+    while (getline(&line, &cap, stdin) != -1) {
+      std::vector<std::string> paths;
+      for (char* tok = strtok(line, " \t\r\n"); tok;
+           tok = strtok(nullptr, " \t\r\n"))
+        paths.push_back(tok);
+      if (paths.empty()) continue;
+      size_t id = req_id++;
+      auto fail = [&](const char* fmt, ...) {
+        char msg[512];
+        va_list ap;
+        va_start(ap, fmt);
+        vsnprintf(msg, sizeof(msg), fmt, ap);
+        va_end(ap);
+        printf("{\"request\": %zu, \"error\": \"%s\"}\n", id, msg);
+        fflush(stdout);
+      };
+      std::vector<PJRT_Buffer*> ins;
+      // Request validation is soft (the daemon answers an error line and
+      // lives on); PJRT-level failures stay fatal — a wedged client is
+      // not recoverable in-process.
+      bool ok = true;
+      if (paths.size() != specs.size()) {
+        fail("want %zu input files, got %zu", specs.size(), paths.size());
+        ok = false;
+      }
+      std::string data;
+      for (size_t i = 0; ok && i < specs.size(); ++i) {
+        if (!TryReadFile(paths[i], &data)) {
+          fail("cannot read input %zu", i);
+          ok = false;
+        } else if (data.size() != specs[i].instance_bytes) {
+          fail("input %zu holds %zu bytes, spec wants %zu", i, data.size(),
+               specs[i].instance_bytes);
+          ok = false;
+        } else {
+          ins.push_back(stage(specs[i], data.data()));
+        }
+      }
+      if (ok) {
+        std::vector<PJRT_Buffer*> outs;
+        execute_set(ins, outs);
+        char prefix[4200];
+        snprintf(prefix, sizeof(prefix), "%s.req%zu", out_prefix.c_str(), id);
+        printf("{\"request\": %zu, \"outputs\": ", id);
+        print_outputs(outs, prefix);
+        printf("}\n");
+        fflush(stdout);
+        destroy_outs(outs);
+      }
+      destroy_outs(ins);
+    }
+    free(line);
+    PJRT_Client_Destroy_Args cd;
+    memset(&cd, 0, sizeof(cd));
+    cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+    cd.client = client;
+    g_api->PJRT_Client_Destroy(&cd);
+    return 0;
+  }
+
   std::vector<PJRT_Buffer*> outputs;
   double sec_per_exec = -1.0, t_short = 0.0, t_long = 0.0;
   size_t n_short = 0, n_long = 0;
@@ -409,46 +568,12 @@ int main(int argc, char** argv) {
   if (sec_per_exec > 0.0) {
     printf("{\"bench\": {\"n_short\": %zu, \"n_long\": %zu, "
            "\"t_short_s\": %.6f, \"t_long_s\": %.6f, "
-           "\"sec_per_exec\": %.6f}, \"outputs\": [",
+           "\"sec_per_exec\": %.6f}, \"outputs\": ",
            n_short, n_long, t_short, t_long, sec_per_exec);
   } else
-  printf("{\"outputs\": [");
-  for (size_t i = 0; i < num_outputs; ++i) {
-    PJRT_Buffer_ToHostBuffer_Args th;
-    memset(&th, 0, sizeof(th));
-    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    th.src = outputs[i];
-    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "size query");
-    std::string host(th.dst_size, '\0');
-    th.dst = &host[0];
-    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
-    AwaitEvent(th.event, "device->host copy");
-
-    PJRT_Buffer_Dimensions_Args bd;
-    memset(&bd, 0, sizeof(bd));
-    bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
-    bd.buffer = outputs[i];
-    Check(g_api->PJRT_Buffer_Dimensions(&bd), "PJRT_Buffer_Dimensions");
-    PJRT_Buffer_ElementType_Args et;
-    memset(&et, 0, sizeof(et));
-    et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
-    et.buffer = outputs[i];
-    Check(g_api->PJRT_Buffer_ElementType(&et), "PJRT_Buffer_ElementType");
-
-    char path[4096];
-    snprintf(path, sizeof(path), "%s.%zu", out_prefix.c_str(), i);
-    FILE* f = fopen(path, "wb");
-    if (!f) Die("cannot write %s", path);
-    fwrite(host.data(), 1, host.size(), f);
-    fclose(f);
-
-    printf("%s{\"file\": \"%s\", \"dtype\": \"%s\", \"shape\": [",
-           i ? ", " : "", path, TypeName(et.type));
-    for (size_t d = 0; d < bd.num_dims; ++d)
-      printf("%s%lld", d ? ", " : "", (long long)bd.dims[d]);
-    printf("], \"bytes\": %zu}", host.size());
-  }
-  printf("]}\n");
+    printf("{\"outputs\": ");
+  print_outputs(outputs, out_prefix);
+  printf("}\n");
 
   // Teardown (best effort; process exit reclaims the rest).
   PJRT_Client_Destroy_Args cd;
