@@ -272,3 +272,85 @@ class TestFitFromPack:
         )
         state = fit(cfg, pack_path)
         assert int(state.step) == len(records) // 2
+
+
+class TestPackTagging:
+    """Bulk tag-from-pack (evaluation.tagger.iter_pack_tags + cli.tag)."""
+
+    def _tagger(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fastvideotagging_tpu.config import ExperimentConfig, ModelConfig
+        from fastvideotagging_tpu.evaluation.tagger import Tagger
+        from fastvideotagging_tpu.models import get_model
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(name="tiny3d", num_classes=3, multilabel=True,
+                              dropout=0.0),
+            data=DataConfig(resize_hw=(40, 56), crop_hw=(32, 32),
+                            sampler=ClipSamplerConfig(clip_len=4, stride=2,
+                                                      eval_mode="dense")))
+        model = get_model("tiny3d", num_classes=3, dropout=0.0)
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+            train=False)
+        return Tagger(cfg, variables, ["a", "b", "c"], clip_batch=2)
+
+    def test_pack_scores_bit_identical_to_streaming(self, pack_env):
+        """The decode-once pack serves the SAME pixels, so video scores
+        match the streaming tag() bitwise."""
+        from fastvideotagging_tpu.evaluation.tagger import iter_pack_tags
+
+        import os
+
+        records, pack_path = pack_env
+        root = os.path.dirname(os.path.dirname(records[0].path))
+        tagger = self._tagger()
+        got = dict(iter_pack_tags(tagger, pack_path, threshold=0.0,
+                                  root=root))
+        assert len(got) == len(records)
+        for rec in records[:3]:
+            ref = tagger.video_scores(rec.path)
+            packed = {r.index: r.score for r in got[rec.path]}
+            assert packed == {i: float(ref[i]) for i in range(3)}
+
+    def test_geometry_mismatch_raises(self, pack_env):
+        from fastvideotagging_tpu.evaluation.tagger import iter_pack_tags
+
+        _, pack_path = pack_env
+        tagger = self._tagger()
+        tagger.cfg = tagger.cfg.__class__(
+            model=tagger.cfg.model,
+            data=DataConfig(resize_hw=(48, 64), crop_hw=(32, 32)))
+        with pytest.raises(ValueError, match="geometry"):
+            next(iter(iter_pack_tags(tagger, pack_path)))
+
+    def test_tag_cli_bulk_packs(self, pack_env, tmp_path, capsys):
+        import jax
+
+        from fastvideotagging_tpu.cli import tag as cli_tag
+        from fastvideotagging_tpu.train.checkpoint import export_weights
+
+        import os
+
+        records, pack_path = pack_env
+        root = os.path.dirname(os.path.dirname(records[0].path))
+        tagger = self._tagger()
+        weights = str(tmp_path / "w")
+        v = jax.device_get(tagger.variables)
+        export_weights(weights, v["params"], v["batch_stats"])
+        capsys.readouterr()
+        cli_tag.main([
+            pack_path, "--data-root", root, "--model", "tiny3d",
+            "--num-classes", "3",
+            "--multilabel", "--dropout", "0.0", "--clip-len", "4",
+            "--stride", "2", "--eval-mode", "dense", "--resize", "40", "56",
+            "--crop", "32", "32", "--weights", weights, "--threshold", "0.0",
+            "--top-k", "2", "--clip-batch", "2",
+        ])
+        lines = [json.loads(line) for line in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == len(records)
+        assert {r["video"] for r in lines} == {r.path for r in records}
+        assert all(len(r["tags"]) == 2 for r in lines)
