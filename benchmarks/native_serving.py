@@ -139,15 +139,57 @@ def daemon_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
     return row
 
 
-def main():
+def int8_row(workdir: str, batch: int = 8, n: int = 21) -> dict:
+    """Round-3b: the int8 PTQ engine THROUGH the native runner — the
+    quantized program (int8 weights + requant epilogues baked as
+    constants) exported and executed with zero Python, same dedupe-proof
+    --bench protocol as the bf16 throughput row. Calibration clips are
+    random uint8 (a perf row; accuracy parity is the int8 test suite's
+    job)."""
+    from fastvideotagging_tpu.evaluation.serving import quantize_for_serving
+
+    cfg = _cfg("bfloat16")
+    _, variables = _variables(cfg)
+    rng = np.random.default_rng(3)
+    calib = [rng.integers(0, 255, (batch, 16, 128, 171, 3)).astype(np.uint8)]
+    qpack = quantize_for_serving(cfg, variables, calib)
+    mod = os.path.join(workdir, "serve_int8.stablehlo")
+    export_serving_stablehlo(cfg, variables, clip_batch=batch, path=mod,
+                             platforms=("tpu",), qpack=qpack)
+    clips = rng.integers(0, 255, (n, batch, 16, 128, 171, 3)).astype(np.uint8)
+    _outs, bench = pjrt.run_serving(mod, [clips], workdir, bench=n,
+                                    timeout=1800)
+    sec = bench["sec_per_exec"]
+    row = {"model": "r2plus1d_18", "engine": "int8",
+           "clip_batch": batch, "bench_instances": n,
+           "sec_per_exec": round(sec, 6),
+           "clips_per_sec": round(batch / sec, 2), **bench,
+           "note": ("int8 ties bf16 at B=8 (the engine's measured gains "
+                    "are batch-dependent: 1.28x at B=32, +43% at B=128 "
+                    "in-process, INT8_SERVING.json); B=8 here bounds the "
+                    "tunnel staging time of the 21 bench instances")}
+    print(f"native int8 throughput: {row['clips_per_sec']} clips/s "
+          f"({sec * 1e3:.2f} ms/exec at B={batch})", flush=True)
+    return row
+
+
+ROWS = {"parity": parity_row, "throughput": throughput_row,
+        "daemon": daemon_row, "int8": int8_row}
+
+
+def main(argv=None):
+    """Run all rows, or only the named ones (merged into the existing
+    record): python benchmarks/native_serving.py [parity|throughput|
+    daemon|int8 ...]"""
+    names = (argv if argv is not None else sys.argv[1:]) or list(ROWS)
+    record = {}
+    if os.path.exists(OUT) and set(names) != set(ROWS):
+        with open(OUT) as f:
+            record = json.load(f)
+    record.update(date="2026-08-17", plugin=pjrt.default_plugin())
     with tempfile.TemporaryDirectory() as workdir:
-        record = {
-            "date": "2026-08-17",
-            "plugin": pjrt.default_plugin(),
-            "parity": parity_row(workdir),
-            "throughput": throughput_row(workdir),
-            "daemon": daemon_row(workdir),
-        }
+        for name in names:
+            record[name] = ROWS[name](workdir)
     with open(OUT, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))

@@ -129,7 +129,9 @@ def export_artifacts(cfg: ExperimentConfig, variables: dict, out_dir: str,
     if fmt in ("jax", "both"):
         path = os.path.join(out_dir, "serving.jax")
         data = export_serving(cfg, variables, clip_batch, path=path,
-                              qpack=qpack)
+                              qpack=qpack,
+                              platforms=tuple(platforms) if platforms
+                              else None)
         meta["artifacts"]["jax"] = {"file": "serving.jax",
                                     "bytes": len(data)}
         log.info("export: wrote %s (%d bytes)", path, len(data))

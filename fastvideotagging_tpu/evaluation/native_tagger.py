@@ -60,6 +60,7 @@ class NativeTagger:
         if len(self.tag_names) != self.num_classes:
             raise ValueError(f"{len(self.tag_names)} tag names for "
                              f"{self.num_classes} classes")
+        self._own_workdir = workdir is None
         self.workdir = workdir or tempfile.mkdtemp(prefix="fvt_native_serve_")
         self.server = NativeServer(
             module, [(shape, np.uint8)], self.workdir, plugin=plugin,
@@ -88,6 +89,10 @@ class NativeTagger:
 
     def close(self) -> None:
         self.server.close()
+        if self._own_workdir:
+            import shutil
+
+            shutil.rmtree(self.workdir, ignore_errors=True)
 
     def __enter__(self):
         return self

@@ -88,14 +88,20 @@ def quantize_for_serving(cfg: ExperimentConfig, variables: dict,
 
 
 def export_serving(cfg: ExperimentConfig, variables: dict, clip_batch: int,
-                   path: str | None = None, qpack=None) -> bytes:
-    """Serialize the serving fn for (clip_batch, T, H, W, 3) uint8 input."""
+                   path: str | None = None, qpack=None,
+                   platforms=None) -> bytes:
+    """Serialize the serving fn for (clip_batch, T, H, W, 3) uint8 input.
+
+    ``platforms`` lowers for other backends (e.g. ("tpu",) from a CPU
+    process) — same semantics as export_serving_stablehlo, so a
+    ``--format both`` export stays consistent across the two artifacts.
+    """
     d = cfg.data
     h, w = d.source_hw or d.resize_hw
     spec = jax.ShapeDtypeStruct(
         (clip_batch, d.sampler.clip_len, h, w, 3), jnp.uint8)
     fn = jax.jit(make_serving_fn(cfg, variables, qpack=qpack))
-    data = jax_export.export(fn)(spec).serialize()
+    data = jax_export.export(fn, platforms=platforms)(spec).serialize()
     if path is not None:
         with open(path, "wb") as f:
             f.write(data)

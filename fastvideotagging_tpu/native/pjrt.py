@@ -314,17 +314,20 @@ class NativeServer:
             arr.tofile(path)
             paths.append(path)
         try:
-            self._proc.stdin.write(" ".join(paths) + "\n")
-            self._proc.stdin.flush()
-        except (BrokenPipeError, OSError):
-            raise NativeServerDied(
-                "native server exited:\n" + "".join(self._stderr))
-        line = self._proc.stdout.readline()
-        for p in paths:
-            os.unlink(p)
-        if not line:
-            raise NativeServerDied(
-                "native server exited:\n" + "".join(self._stderr))
+            try:
+                self._proc.stdin.write(" ".join(paths) + "\n")
+                self._proc.stdin.flush()
+            except (BrokenPipeError, OSError):
+                raise NativeServerDied(
+                    "native server exited:\n" + "".join(self._stderr))
+            line = self._proc.stdout.readline()
+            if not line:
+                raise NativeServerDied(
+                    "native server exited:\n" + "".join(self._stderr))
+        finally:
+            for p in paths:
+                if os.path.exists(p):
+                    os.unlink(p)
         reply = json.loads(line)
         if "error" in reply:
             raise ValueError(f"native server request failed: {reply['error']}")

@@ -79,6 +79,32 @@ def test_export_cli_bf16_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_export_cli_platforms_reaches_both_artifacts(tmp_path):
+    """--platforms must lower BOTH artifacts for the named backend — the
+    jax.export artifact used to ignore it (only StableHLO honored it), so
+    a --format both export from a CPU process produced one TPU and one
+    CPU program."""
+    from jax import export as jax_export
+
+    weights = str(tmp_path / "weights")
+    _make_weights(weights, "tiny3d", 3)
+    out = str(tmp_path / "art_tpu")
+
+    cli_export.main([
+        "--model", "tiny3d", "--num-classes", "3", "--multilabel",
+        "--dropout", "0.0", *GEOM,
+        "--weights", weights, "--out", out, "--clip-batch", "2",
+        "--platforms", "tpu",
+    ])
+
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["platforms"] == ["tpu"]
+    assert set(meta["artifacts"]) == {"jax", "stablehlo"}
+    with open(os.path.join(out, "serving.jax"), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    assert tuple(p.lower() for p in exported.platforms) == ("tpu",)
+
+
 def test_collect_calib_clips_pads_to_batch(synthetic_dataset):
     root, list_path = synthetic_dataset
     video = load_video_list(list_path, root=root)[0].path
