@@ -1,0 +1,168 @@
+"""End-to-end overlapped training throughput — the system-level "Fast" row.
+
+Every perf number so far isolates one tier: the jitted train step (bench.py,
+275 clips/s faithful), the packed loader (1793 clips/s host-side), the fused
+preprocess. This benchmark measures what a USER gets: ``fit()`` itself —
+packed decode-once dataset -> thread-pool clip gather -> depth-2 device
+prefetch -> jitted step -> periodic metric sync + JSONL logging — wall-clock
+sustained clips/s, compile and epoch boundaries included. The claim under
+test is that with the pack tier the loader fully hides behind the device
+(SURVEY.md §1: the reference's identity was never starving the trainer), so
+e2e ~= the bare-step rate of bench.py.
+
+Method: build a synthetic ``.fvtpack`` at the headline ship geometry
+(128x171 uint8) by writing the pack format directly from
+``synthetic.make_frames`` (no codec round-trip; the pack READER under test
+is the production `data/packed.py` path), then run the real ``fit()`` for a
+few epochs with a JSONL sink and take the median ``samples_per_sec`` over
+the steady-state rows (everything after the first logging window, which
+contains the one-time compile). The per-window speed fit() logs is wall
+time between metric syncs — loader + H2D + device + the sync itself — i.e.
+honest user-visible throughput. Content differs per (epoch, index) draw, so
+the axon content-dedupe trap (CLAUDE.md) does not apply.
+
+Writes benchmarks/E2E_TRAIN.json. ``--smoke`` runs the same machinery on
+CPU at toy geometry (mechanics check only; numbers are meaningless there).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import statistics
+import struct
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(__file__), "E2E_TRAIN.json")
+
+
+def write_synth_pack(path: str, num_videos: int, frames_per_video: int,
+                     hw: tuple[int, int], num_classes: int = 8) -> None:
+    """Emit pack-format bytes (data/packed.py layout v1) straight from
+    synthetic frames — prep tooling for the bench; the production reader
+    (Pack/PackedDataset) consumes it unmodified."""
+    from fastvideotagging_tpu.data.packed import MAGIC, _HEADER
+    from fastvideotagging_tpu.data.synthetic import make_frames
+
+    h, w = hw
+    entries = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", 0))
+        for i in range(num_videos):
+            start = f.tell()
+            frames = make_frames(i % num_classes, frames_per_video, h, w,
+                                 seed=i)
+            f.write(np.ascontiguousarray(frames))
+            entries.append({
+                "path": f"synth/v{i:05d}.mp4", "label": i % num_classes,
+                "tags": [], "frames": frames_per_video,
+                "probe_frames": frames_per_video,
+                "offset": start - _HEADER,
+            })
+        index_offset = f.tell()
+        f.write(json.dumps(
+            {"height": h, "width": w, "videos": entries}).encode())
+        f.seek(len(MAGIC))
+        f.write(struct.pack("<Q", index_offset))
+
+
+def run(num_videos: int, frames_per_video: int, epochs: int,
+        log_every: int, smoke: bool) -> dict:
+    from fastvideotagging_tpu.config import PRESETS
+    from fastvideotagging_tpu.train.fit import fit
+
+    cfg = PRESETS["r2plus1d18_ucf101"]
+    if smoke:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, name="tiny3d",
+                                      num_classes=8),
+            data=dataclasses.replace(
+                cfg.data, resize_hw=(40, 56), crop_hw=(32, 32),
+                sampler=dataclasses.replace(cfg.data.sampler, clip_len=4)),
+            train=dataclasses.replace(cfg.train, batch_size=4),
+        )
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, num_epochs=epochs, log_every=log_every,
+            checkpoint_dir=""))
+    batch = cfg.train.batch_size
+    steps_per_epoch = num_videos // batch
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pack = os.path.join(tmp, "bench.fvtpack")
+        t0 = time.time()
+        write_synth_pack(pack, num_videos, frames_per_video,
+                         cfg.data.resize_hw)
+        pack_mb = os.path.getsize(pack) / 2**20
+        print(f"pack: {num_videos} videos, {pack_mb:.0f} MiB, "
+              f"{time.time() - t0:.1f}s", flush=True)
+
+        jsonl = os.path.join(tmp, "metrics.jsonl")
+        t0 = time.time()
+        fit(cfg, pack, metrics_path=jsonl)
+        wall = time.time() - t0
+        rows = [json.loads(line) for line in open(jsonl)]
+
+    speeds = [r["samples_per_sec"] for r in rows if "samples_per_sec" in r]
+    if not speeds:
+        raise RuntimeError("fit() logged no speed rows; lower log_every")
+    # First window holds the one-time jit compile; the rest is steady state.
+    steady = speeds[1:] or speeds
+    row = {
+        "config": "r2plus1d18_ucf101" if not smoke else "smoke",
+        "batch_size": batch,
+        "pack_videos": num_videos,
+        "pack_mib": round(pack_mb, 1),
+        "steps_per_epoch": steps_per_epoch,
+        "epochs": epochs,
+        "log_every": log_every,
+        "e2e_clips_per_sec_median": round(statistics.median(steady), 2),
+        "e2e_clips_per_sec_best": round(max(steady), 2),
+        "first_window_clips_per_sec": round(speeds[0], 2),
+        "wall_s_total": round(wall, 1),
+        "speed_windows": [round(s, 1) for s in speeds],
+        "note": ("median steady-state samples/sec over fit()'s logging "
+                 "windows (each = wall time for log_every steps incl. "
+                 "loader, H2D prefetch, device step, metric sync, JSONL "
+                 "write; first window additionally holds the jit compile). "
+                 "Compare bench.py r2plus1d18_train_clips_per_sec_per_chip "
+                 "(bare dedupe-proof step): e2e/bare >= ~0.9 means the "
+                 "packed loader tier fully hides data IO behind the chip."),
+    }
+    return row
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--videos", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--log-every", type=int, default=8)
+    ap.add_argument("--smoke", action="store_true",
+                    help="CPU mechanics check at toy geometry; no artifact")
+    args = ap.parse_args(argv)
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    row = run(args.videos, args.frames, args.epochs, args.log_every,
+              args.smoke)
+    print(json.dumps(row))
+    if not args.smoke:
+        record = {"date": "2026-08-17", "e2e_train": row}
+        with open(OUT, "w") as f:
+            json.dump(record, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,11 @@
 
 A ``.fvtpack`` argument bulk-tags every video in the pack (decode-once
 backfill tier: zero FFmpeg per video, one JSON line each).
+
+``--engine native --artifacts art/`` scores through the long-running C++
+PJRT daemon instead of in-process jax; for packs the daemon pipelines —
+``--pipeline K`` requests are H2D-staged ahead while the chip executes,
+with bit-identical aggregation (tests/test_native_pjrt.py).
 """
 
 from __future__ import annotations
@@ -23,8 +28,9 @@ def main(argv=None):
     add_common_flags(p)
     p.add_argument("videos", nargs="+",
                    help="video file(s) and/or .fvtpack pack(s) to tag")
-    p.add_argument("--weights", required=True,
-                   help="weights dir from export_weights / orbax")
+    p.add_argument("--weights", default=None,
+                   help="weights dir from export_weights / orbax "
+                        "(required with --engine jax)")
     p.add_argument("--tag-names", default=None,
                    help="text file, one tag name per line (row = class id)")
     p.add_argument("--threshold", type=float, default=0.5)
@@ -33,6 +39,17 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve through the int8 PTQ engine (self-calibrates "
                         "on each video's first chunk; r2plus1d family)")
+    p.add_argument("--engine", choices=["jax", "native"], default="jax",
+                   help="jax: in-process engine from --weights. native: the "
+                        "C++ PJRT daemon from --artifacts (Python stays a "
+                        "host-only decode front-end)")
+    p.add_argument("--artifacts", default=None,
+                   help="export-CLI artifact dir (required with "
+                        "--engine native)")
+    p.add_argument("--pipeline", type=int, default=2,
+                   help="native engine: requests staged ahead of execution "
+                        "in the daemon; bulk pack tagging keeps this many "
+                        "chunks in flight (0 = strictly sequential)")
     args = p.parse_args(argv)
     cfg = build_config(args)
 
@@ -41,9 +58,23 @@ def main(argv=None):
         with open(args.tag_names) as f:
             tag_names = [line.strip() for line in f if line.strip()]
 
-    variables = load_weights(args.weights)
-    tagger = Tagger(cfg, variables, tag_names, clip_batch=args.clip_batch,
-                    int8=args.int8)
+    if args.engine == "native":
+        if not args.artifacts:
+            raise SystemExit("--engine native needs --artifacts (an export-"
+                             "CLI directory: serving.stablehlo + meta.json)")
+        if args.int8:
+            raise SystemExit("--int8 is baked at export time for the native "
+                             "engine (cli.export --int8)")
+        from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
+
+        tagger = NativeTagger(args.artifacts, tag_names=tag_names,
+                              pipeline=args.pipeline)
+    else:
+        if not args.weights:
+            raise SystemExit("--engine jax needs --weights")
+        variables = load_weights(args.weights)
+        tagger = Tagger(cfg, variables, tag_names,
+                        clip_batch=args.clip_batch, int8=args.int8)
     def emit(video, results):
         print(json.dumps({
             "video": video,
@@ -51,15 +82,19 @@ def main(argv=None):
                      for r in results],
         }))
 
-    for video in args.videos:
-        if is_pack(video):
-            for path, results in iter_pack_tags(
-                    tagger, video, threshold=args.threshold,
-                    top_k=args.top_k, root=cfg.data.root or ""):
-                emit(path, results)
-        else:
-            emit(video, tagger.tag(video, threshold=args.threshold,
-                                   top_k=args.top_k))
+    try:
+        for video in args.videos:
+            if is_pack(video):
+                for path, results in iter_pack_tags(
+                        tagger, video, threshold=args.threshold,
+                        top_k=args.top_k, root=cfg.data.root or ""):
+                    emit(path, results)
+            else:
+                emit(video, tagger.tag(video, threshold=args.threshold,
+                                       top_k=args.top_k))
+    finally:
+        if hasattr(tagger, "close"):
+            tagger.close()  # the native engine owns a daemon + workdir
 
 
 if __name__ == "__main__":

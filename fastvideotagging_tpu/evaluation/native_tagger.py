@@ -39,7 +39,7 @@ class NativeTagger:
     def __init__(self, artifacts_dir: str, tag_names: list[str] | None = None,
                  workdir: str | None = None, plugin: str | None = None,
                  client_options: dict | None = None,
-                 ready_timeout: float = 600.0):
+                 ready_timeout: float = 600.0, pipeline: int = 0):
         meta_path = os.path.join(artifacts_dir, "meta.json")
         module = os.path.join(artifacts_dir, "serving.stablehlo")
         if not os.path.exists(meta_path) or not os.path.exists(module):
@@ -64,7 +64,8 @@ class NativeTagger:
         self.workdir = workdir or tempfile.mkdtemp(prefix="fvt_native_serve_")
         self.server = NativeServer(
             module, [(shape, np.uint8)], self.workdir, plugin=plugin,
-            client_options=client_options, ready_timeout=ready_timeout)
+            client_options=client_options, ready_timeout=ready_timeout,
+            pipeline=pipeline)
 
     def _score_u8(self, clips_u8: np.ndarray, nclips: int) -> np.ndarray:
         return self.server.request([clips_u8])[0][:nclips]
@@ -81,6 +82,55 @@ class NativeTagger:
         return scores_from_frames(
             read_frames, n_frames, self.sampler_cfg, self.ship_hw,
             self.num_classes, self.clip_batch, self._score_u8)
+
+    def iter_pack_scores(self, pack, root: str = ""):
+        """Score every video of a pack, keeping requests in flight across
+        video boundaries (``NativeServer.request_many``) so mmap gather and
+        H2D staging of the next chunks hide behind the daemon's execution
+        of the current one. Yields ``(video_path, scores)`` in pack order.
+
+        Bit-identical to the sequential path: chunks come from the shared
+        ``iter_eval_chunks`` in the same order, replies are consumed in
+        request order, and each video's scores use the same ordered f64
+        accumulation as ``scores_from_frames``."""
+        from fastvideotagging_tpu.data.packed import Pack
+        from fastvideotagging_tpu.evaluation.tagger import (
+            eval_clip_index,
+            iter_eval_chunks,
+        )
+
+        pack = pack if isinstance(pack, Pack) else Pack(pack)
+        recs = pack.records(root)
+        meta: list[tuple[int, int]] = []  # per request: (video index, nclips)
+        num_clips = [0] * len(recs)
+
+        def requests():
+            for i in range(len(recs)):
+                clip_idx = eval_clip_index(
+                    pack.entries[i]["probe_frames"], self.sampler_cfg)
+                num_clips[i] = clip_idx.shape[0]
+                for clips_u8, nclips in iter_eval_chunks(
+                        lambda idx, _i=i: pack.gather(_i, idx), clip_idx,
+                        self.ship_hw, self.clip_batch):
+                    meta.append((i, nclips))
+                    yield [clips_u8]
+
+        total = np.zeros((self.num_classes,), np.float64)
+        done_chunks = 0
+        video_i = 0
+        depth = max(1, self.server.pipeline + 1)  # pipeline=0 -> sequential
+        for m, outs in enumerate(self.server.request_many(requests(),
+                                                          depth=depth)):
+            i, nclips = meta[m]
+            assert i == video_i, "replies out of pack order"
+            total += np.asarray(
+                outs[0][:nclips]).astype(np.float64).sum(axis=0)
+            done_chunks += nclips
+            if done_chunks == num_clips[i]:
+                yield recs[i].path, (total / num_clips[i]).astype(np.float32)
+                total = np.zeros((self.num_classes,), np.float64)
+                done_chunks = 0
+                video_i += 1
 
     def tag(self, video_path: str, threshold: float = 0.5,
             top_k: int | None = None) -> list[TagResult]:

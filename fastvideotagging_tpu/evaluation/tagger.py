@@ -32,6 +32,36 @@ class TagResult:
     index: int
 
 
+def eval_clip_index(n_frames: int, sampler_cfg) -> np.ndarray:
+    """The (K, T) eval clip index grid for a video of ``n_frames``."""
+    s = sampler_cfg
+    return sampler.sample_eval_indices(
+        max(int(n_frames), 1), s.clip_len, s.stride, mode=s.eval_mode,
+        num_clips=s.num_eval_clips)
+
+
+def iter_eval_chunks(read_frames, clip_idx: np.ndarray, ship_hw,
+                     clip_batch: int):
+    """Yield ``(clips_u8, nclips)`` fixed-shape chunks in clip order —
+    the chunking half of ``scores_from_frames``, shared with pipelined
+    engines so overlap never changes what is scored.
+
+    Each chunk is padded to ``clip_batch`` (one compiled shape);
+    ``nclips`` counts the real (non-padding) clips."""
+    k = clip_idx.shape[0]
+    for i in range(0, k, clip_batch):
+        chunk_idx = clip_idx[i : i + clip_batch]
+        nclips, t = chunk_idx.shape
+        flat = read_frames(chunk_idx.reshape(-1))
+        flat = _ensure_size(flat, ship_hw)
+        clips_u8 = flat.reshape((nclips, t) + flat.shape[1:])
+        if nclips < clip_batch:  # pad to the compiled shape
+            pad = np.zeros(
+                (clip_batch - nclips,) + clips_u8.shape[1:], np.uint8)
+            clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+        yield clips_u8, nclips
+
+
 def scores_from_frames(read_frames, n_frames: int, sampler_cfg, ship_hw,
                        num_classes: int, clip_batch: int,
                        score_u8) -> np.ndarray:
@@ -47,26 +77,13 @@ def scores_from_frames(read_frames, n_frames: int, sampler_cfg, ship_hw,
     nclips)`` returns scores ``(nclips, num_classes)`` for the first
     ``nclips`` (non-padding) clips of the chunk.
     """
-    s = sampler_cfg
-    clip_idx = sampler.sample_eval_indices(
-        max(int(n_frames), 1), s.clip_len, s.stride, mode=s.eval_mode,
-        num_clips=s.num_eval_clips,
-    )  # (K, T)
-    k = clip_idx.shape[0]
+    clip_idx = eval_clip_index(n_frames, sampler_cfg)
     total = np.zeros((num_classes,), np.float64)
-    for i in range(0, k, clip_batch):
-        chunk_idx = clip_idx[i : i + clip_batch]
-        nclips, t = chunk_idx.shape
-        flat = read_frames(chunk_idx.reshape(-1))
-        flat = _ensure_size(flat, ship_hw)
-        clips_u8 = flat.reshape((nclips, t) + flat.shape[1:])
-        if nclips < clip_batch:  # pad to the compiled shape
-            pad = np.zeros(
-                (clip_batch - nclips,) + clips_u8.shape[1:], np.uint8)
-            clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+    for clips_u8, nclips in iter_eval_chunks(read_frames, clip_idx, ship_hw,
+                                             clip_batch):
         scores = score_u8(clips_u8, nclips)
         total += np.asarray(scores).astype(np.float64).sum(axis=0)
-    return (total / k).astype(np.float32)
+    return (total / clip_idx.shape[0]).astype(np.float32)
 
 
 def stream_video_scores(video_path: str, sampler_cfg, ship_hw,
@@ -216,6 +233,15 @@ def iter_pack_tags(engine, pack, threshold: float = 0.5,
         raise ValueError(
             f"pack geometry {pack.height}x{pack.width} != the engine's ship "
             f"geometry {ship}; re-run cli.prepare --pack at this config")
+    if hasattr(engine, "iter_pack_scores"):
+        # Engines that can keep several chunks in flight (NativeTagger's
+        # pipelined daemon) score the whole pack themselves; the chunking
+        # and f64 aggregation are the shared iter_eval_chunks/
+        # scores_from_frames semantics either way.
+        for path, scores in engine.iter_pack_scores(pack, root=root):
+            yield path, rank_tags(scores, engine.tag_names,
+                                  threshold=threshold, top_k=top_k)
+        return
     for i, rec in enumerate(pack.records(root)):
         scores = engine.scores_from(
             lambda idx, _i=i: pack.gather(_i, idx),

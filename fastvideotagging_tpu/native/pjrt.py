@@ -46,8 +46,8 @@ def build_runner(force: bool = False) -> str:
             and os.path.getmtime(_BIN) >= os.path.getmtime(_SRC)):
         return _BIN
     include = _pjrt_header_dir()
-    cmd = ["g++", "-O2", "-std=c++17", f"-I{include}", "-o", _BIN, _SRC,
-           "-ldl"]
+    cmd = ["g++", "-O2", "-std=c++17", "-pthread", f"-I{include}", "-o",
+           _BIN, _SRC, "-ldl"]
     subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     return _BIN
 
@@ -243,7 +243,7 @@ class NativeServer:
 
     def __init__(self, module_path: str, specs, workdir: str,
                  plugin: str | None = None, client_options: dict | None = None,
-                 ready_timeout: float = 600.0):
+                 ready_timeout: float = 600.0, pipeline: int = 0):
         import threading
         import time
 
@@ -254,12 +254,16 @@ class NativeServer:
         os.makedirs(workdir, exist_ok=True)
         self.workdir = workdir
         self.specs = [(tuple(shape), np.dtype(dt)) for shape, dt in specs]
+        self.pipeline = int(pipeline)
         self._req_id = 0
+        self._desync = False
         opts_path = os.path.join(workdir, "compile_options.pb")
         make_compile_options(opts_path)
         cmd = [binary, "--plugin", plugin, "--module", module_path,
                "--serve", "--output", os.path.join(workdir, "out"),
                "--compile-options", opts_path]
+        if self.pipeline > 0:
+            cmd += ["--pipeline", str(self.pipeline)]
         for shape, dt in self.specs:
             tag = _dtype_tag(np.empty((0,), dt))
             cmd += ["--serve-input",
@@ -297,8 +301,16 @@ class NativeServer:
                 "native server died during startup:\n"
                 + "".join(self._stderr))
 
-    def request(self, inputs) -> list[np.ndarray]:
-        """One synchronous request: arrays in (matching specs) -> outputs."""
+    def _submit(self, inputs) -> tuple[int, list[str]]:
+        """Write one request's input files + stdin line; returns (request
+        id, file paths). Delete the files only after the matching reply —
+        the daemon reads them when it STAGES the request, which in
+        pipelined mode can happen well after the write."""
+        if self._desync:
+            raise NativeServerDied(
+                "native server protocol is out of sync (a pipelined "
+                "request_many was abandoned with replies unread); close() "
+                "and start a fresh server")
         if len(inputs) != len(self.specs):
             raise ValueError(
                 f"{len(inputs)} inputs for {len(self.specs)} specs")
@@ -314,27 +326,78 @@ class NativeServer:
             arr.tofile(path)
             paths.append(path)
         try:
-            try:
-                self._proc.stdin.write(" ".join(paths) + "\n")
-                self._proc.stdin.flush()
-            except (BrokenPipeError, OSError):
-                raise NativeServerDied(
-                    "native server exited:\n" + "".join(self._stderr))
+            self._proc.stdin.write(" ".join(paths) + "\n")
+            self._proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            for p in paths:
+                os.unlink(p)
+            raise NativeServerDied(
+                "native server exited:\n" + "".join(self._stderr))
+        return rid, paths
+
+    def _read_reply(self, rid: int, paths: list[str]) -> list[np.ndarray]:
+        """Read the reply for request ``rid``; cleans up its input files."""
+        try:
             line = self._proc.stdout.readline()
-            if not line:
-                raise NativeServerDied(
-                    "native server exited:\n" + "".join(self._stderr))
         finally:
             for p in paths:
                 if os.path.exists(p):
                     os.unlink(p)
+        if not line:
+            raise NativeServerDied(
+                "native server exited:\n" + "".join(self._stderr))
         reply = json.loads(line)
+        if reply.get("request") != rid:
+            self._desync = True
+            raise NativeServerDied(
+                f"native server reply out of sync: expected request {rid}, "
+                f"got {reply.get('request')}")
         if "error" in reply:
             raise ValueError(f"native server request failed: {reply['error']}")
         outs = _load_outputs(reply["outputs"])
         for o in reply["outputs"]:
             os.unlink(o["file"])
         return outs
+
+    def request(self, inputs) -> list[np.ndarray]:
+        """One synchronous request: arrays in (matching specs) -> outputs."""
+        return self._read_reply(*self._submit(inputs))
+
+    def request_many(self, batches, depth: int | None = None):
+        """Pipelined requests: yields each batch's outputs IN ORDER while
+        keeping up to ``depth`` requests in flight (default: the daemon's
+        --pipeline stage-ahead + 1 executing, or 2). With a plain daemon
+        this overlaps host-side framing with device work; with
+        ``pipeline > 0`` the daemon additionally overlaps H2D staging of
+        request N+k with execution of request N. Abandoning the generator
+        with replies still in flight leaves the line protocol out of sync —
+        the server then refuses further requests (close() and restart)."""
+        from collections import deque
+
+        depth = depth if depth is not None else max(2, self.pipeline + 1)
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1 (got {depth})")
+        inflight: deque[tuple[int, list[str]]] = deque()
+        try:
+            for batch in batches:
+                if len(inflight) >= depth:
+                    rid, paths = inflight.popleft()
+                    yield self._read_reply(rid, paths)
+                inflight.append(self._submit(batch))
+            while inflight:
+                rid, paths = inflight.popleft()
+                yield self._read_reply(rid, paths)
+        finally:
+            if inflight:
+                # Closed early (or a reply raised): unanswered replies are
+                # still queued in the pipe, so the protocol is desynced for
+                # any future request — mark it and drain our input files
+                # (the daemon answers soft errors for ones it can't read).
+                self._desync = True
+                for _rid, paths in inflight:
+                    for p in paths:
+                        if os.path.exists(p):
+                            os.unlink(p)
 
     def close(self) -> None:
         if self._proc.poll() is None:

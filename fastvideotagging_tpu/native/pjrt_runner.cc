@@ -29,6 +29,11 @@
 // order); each request answers with one JSON line on stdout naming the
 // output files (out.req<N>.<i>). A malformed request (missing/short
 // file, wrong arg count) answers {"error": ...} and the daemon lives on.
+//
+// --pipeline K (serve mode): a stager thread reads + H2D-stages up to K
+// requests ahead while the device executes the current one, so input
+// staging hides behind compute when the client keeps >1 request in
+// flight (NativeServer.request_many). Replies stay in request order.
 
 #include <dlfcn.h>
 #include <stdarg.h>
@@ -38,7 +43,11 @@
 #include <string.h>
 #include <time.h>
 
+#include <condition_variable>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
@@ -185,6 +194,7 @@ const char* TypeName(PJRT_Buffer_Type t) {
 int main(int argc, char** argv) {
   std::string plugin, module_path, out_prefix = "out", options_path;
   size_t bench_n = 1;
+  long pipeline = 0;
   bool serve = false;
   std::vector<std::string> input_specs, serve_specs;
   // Plugin client-create options ("key=str:value" / "key=int:value") — some
@@ -211,6 +221,10 @@ int main(int argc, char** argv) {
     }
     else if (a == "--serve") serve = true;
     else if (a == "--serve-input") serve_specs.push_back(next());
+    else if (a == "--pipeline") {
+      pipeline = atol(next().c_str());
+      if (pipeline < 0) Die("--pipeline must be >= 0 (got %ld)", pipeline);
+    }
     else if (a == "--client-option") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -226,7 +240,9 @@ int main(int argc, char** argv) {
              "throughput over disjoint short/long batches.\n"
              "--serve: compile once, then read one request per stdin line "
              "(whitespace-separated raw input files, one per --serve-input "
-             "dtype:dims spec, in order); answers one JSON line each.\n");
+             "dtype:dims spec, in order); answers one JSON line each.\n"
+             "--pipeline K: in serve mode, stage up to K requests ahead on "
+             "a thread so H2D overlaps execution (replies stay ordered).\n");
       return 0;
     } else Die("unknown arg %s", a.c_str());
   }
@@ -236,6 +252,7 @@ int main(int argc, char** argv) {
     Die("--serve takes --serve-input specs, not --input/--bench");
   if (serve && serve_specs.empty())
     Die("--serve needs at least one --serve-input dtype:d0,d1,... spec");
+  if (pipeline > 0 && !serve) Die("--pipeline only applies to --serve");
 
   std::vector<PJRT_NamedValue> create_opts;
   std::vector<std::string> opt_store;  // stable storage for strings
@@ -464,63 +481,130 @@ int main(int argc, char** argv) {
   if (serve) {
     std::vector<InputSpec> specs;
     for (const std::string& s : serve_specs) specs.push_back(ParseShape(s));
-    fprintf(stderr, "ready\n");
-    fflush(stderr);
-    char* line = nullptr;
-    size_t cap = 0;
-    size_t req_id = 0;
-    while (getline(&line, &cap, stdin) != -1) {
+
+    struct Request {
+      size_t id = 0;
+      std::vector<PJRT_Buffer*> ins;
+      std::string error;  // non-empty -> soft validation failure
+    };
+
+    // Parse + validate + stage one stdin line. H2D staging lives here so
+    // the pipelined mode can overlap it with execution of the previous
+    // request. Validation is soft (the daemon answers an error line and
+    // lives on); PJRT-level failures stay fatal — a wedged client is not
+    // recoverable in-process.
+    auto stage_request = [&](char* line, size_t id) -> Request {
+      Request req;
+      req.id = id;
       std::vector<std::string> paths;
       for (char* tok = strtok(line, " \t\r\n"); tok;
            tok = strtok(nullptr, " \t\r\n"))
         paths.push_back(tok);
-      if (paths.empty()) continue;
-      size_t id = req_id++;
-      auto fail = [&](const char* fmt, ...) {
-        char msg[512];
-        va_list ap;
-        va_start(ap, fmt);
-        vsnprintf(msg, sizeof(msg), fmt, ap);
-        va_end(ap);
-        printf("{\"request\": %zu, \"error\": \"%s\"}\n", id, msg);
-        fflush(stdout);
-      };
-      std::vector<PJRT_Buffer*> ins;
-      // Request validation is soft (the daemon answers an error line and
-      // lives on); PJRT-level failures stay fatal — a wedged client is
-      // not recoverable in-process.
-      bool ok = true;
+      char msg[512];
       if (paths.size() != specs.size()) {
-        fail("want %zu input files, got %zu", specs.size(), paths.size());
-        ok = false;
+        snprintf(msg, sizeof(msg), "want %zu input files, got %zu",
+                 specs.size(), paths.size());
+        req.error = msg;
+        return req;
       }
       std::string data;
-      for (size_t i = 0; ok && i < specs.size(); ++i) {
+      for (size_t i = 0; i < specs.size(); ++i) {
         if (!TryReadFile(paths[i], &data)) {
-          fail("cannot read input %zu", i);
-          ok = false;
-        } else if (data.size() != specs[i].instance_bytes) {
-          fail("input %zu holds %zu bytes, spec wants %zu", i, data.size(),
-               specs[i].instance_bytes);
-          ok = false;
-        } else {
-          ins.push_back(stage(specs[i], data.data()));
+          snprintf(msg, sizeof(msg), "cannot read input %zu", i);
+          req.error = msg;
+          return req;
         }
+        if (data.size() != specs[i].instance_bytes) {
+          snprintf(msg, sizeof(msg), "input %zu holds %zu bytes, spec "
+                   "wants %zu", i, data.size(), specs[i].instance_bytes);
+          req.error = msg;
+          return req;
+        }
+        req.ins.push_back(stage(specs[i], data.data()));
       }
-      if (ok) {
+      return req;
+    };
+
+    auto serve_request = [&](Request& req) {
+      if (!req.error.empty()) {
+        printf("{\"request\": %zu, \"error\": \"%s\"}\n", req.id,
+               req.error.c_str());
+        fflush(stdout);
+      } else {
         std::vector<PJRT_Buffer*> outs;
-        execute_set(ins, outs);
+        execute_set(req.ins, outs);
         char prefix[4200];
-        snprintf(prefix, sizeof(prefix), "%s.req%zu", out_prefix.c_str(), id);
-        printf("{\"request\": %zu, \"outputs\": ", id);
+        snprintf(prefix, sizeof(prefix), "%s.req%zu", out_prefix.c_str(),
+                 req.id);
+        printf("{\"request\": %zu, \"outputs\": ", req.id);
         print_outputs(outs, prefix);
         printf("}\n");
         fflush(stdout);
         destroy_outs(outs);
       }
-      destroy_outs(ins);
+      destroy_outs(req.ins);
+    };
+
+    auto is_blank = [](const char* line) {
+      for (const char* p = line; *p; ++p)
+        if (!strchr(" \t\r\n", *p)) return false;
+      return true;
+    };
+
+    fprintf(stderr, "ready\n");
+    fflush(stderr);
+    if (pipeline == 0) {
+      char* line = nullptr;
+      size_t cap = 0;
+      size_t req_id = 0;
+      while (getline(&line, &cap, stdin) != -1) {
+        if (is_blank(line)) continue;
+        Request req = stage_request(line, req_id++);
+        serve_request(req);
+      }
+      free(line);
+    } else {
+      // Pipelined serving: a stager thread reads + stages request N+k
+      // while the main thread executes N (PJRT clients are thread-safe).
+      // The bounded queue caps staged-but-unexecuted requests at
+      // `pipeline` (+1 executing), bounding device memory; replies stay
+      // in strict request order because the queue is FIFO and errors
+      // flow through it too.
+      std::deque<Request> q;
+      std::mutex mu;
+      std::condition_variable cv_push, cv_pop;
+      bool done = false;
+      std::thread stager([&] {
+        char* line = nullptr;
+        size_t cap = 0;
+        size_t req_id = 0;
+        while (getline(&line, &cap, stdin) != -1) {
+          if (is_blank(line)) continue;
+          Request req = stage_request(line, req_id++);
+          std::unique_lock<std::mutex> lk(mu);
+          cv_pop.wait(lk, [&] { return q.size() < (size_t)pipeline; });
+          q.push_back(std::move(req));
+          cv_push.notify_one();
+        }
+        free(line);
+        std::lock_guard<std::mutex> lk(mu);
+        done = true;
+        cv_push.notify_one();
+      });
+      for (;;) {
+        Request req;
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          cv_push.wait(lk, [&] { return !q.empty() || done; });
+          if (q.empty()) break;
+          req = std::move(q.front());
+          q.pop_front();
+          cv_pop.notify_one();
+        }
+        serve_request(req);
+      }
+      stager.join();
     }
-    free(line);
     PJRT_Client_Destroy_Args cd;
     memset(&cd, 0, sizeof(cd));
     cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;

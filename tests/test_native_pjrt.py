@@ -12,6 +12,7 @@ bitwise-close to the in-process jax scores) is opt-in:
 (verified on v5e: max abs diff 6e-4 on f32 scores).
 """
 
+import json
 import os
 import subprocess
 
@@ -190,5 +191,262 @@ def test_native_daemon_tagger_matches_inprocess(runner, tmp_path,
         nt.server._proc.stdin.flush()
         reply = _json.loads(nt.server._proc.stdout.readline())
         assert "error" in reply
+        # the raw line above consumed a daemon-side request id the client
+        # never issued — resync the client's counter with it
+        nt.server._req_id += 1
         got = nt.video_scores(records[0].path)
         assert got.shape == (3,)
+
+
+# ---------------------------------------------------------------------------
+# Pipelined client protocol (hermetic): NativeServer.request_many against a
+# FAKE daemon speaking the exact line protocol — ordering, file cleanup, and
+# desync protection are client-side logic that needs no PJRT plugin.
+
+_FAKE_DAEMON = r'''
+import json, os, sys
+args = sys.argv[1:]
+out_prefix = args[args.index("--output") + 1] if "--output" in args else "out"
+sys.stderr.write("ready\n"); sys.stderr.flush()
+rid = 0
+import numpy as np
+for line in sys.stdin:
+    paths = line.split()
+    if not paths:
+        continue
+    i = rid; rid += 1
+    try:
+        arr = np.fromfile(paths[0], np.uint8)
+    except OSError:
+        print(json.dumps({"request": i, "error": "cannot read input 0"}),
+              flush=True)
+        continue
+    out = arr.astype(np.float32) * 2.0
+    f = f"{out_prefix}.req{i}.0"
+    out.tofile(f)
+    print(json.dumps({"request": i, "outputs": [
+        {"file": f, "dtype": "f32", "shape": [int(arr.size)],
+         "bytes": int(out.nbytes)}]}), flush=True)
+'''
+
+
+@pytest.fixture
+def fake_server(tmp_path, monkeypatch):
+    import sys
+
+    fake = tmp_path / "fake_daemon.py"
+    fake.write_text(_FAKE_DAEMON)
+    wrapper = tmp_path / "fake_runner"
+    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    wrapper.chmod(0o755)
+    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+    server = pjrt.NativeServer(
+        "unused.mlir", [((4,), np.uint8)], str(tmp_path / "wd"),
+        plugin="fake.so", client_options={}, pipeline=2)
+    yield server
+    server.close()
+
+
+def test_request_many_ordered_and_cleans_up(fake_server):
+    batches = [[np.arange(4, dtype=np.uint8) + i] for i in range(7)]
+    outs = list(fake_server.request_many(iter(batches), depth=3))
+    assert len(outs) == 7
+    for i, (out,) in enumerate(outs):
+        np.testing.assert_array_equal(
+            out, (np.arange(4) + i).astype(np.float32) * 2.0)
+    leftovers = [f for f in os.listdir(fake_server.workdir)
+                 if f.startswith(("req", "out"))]
+    assert leftovers == []  # all input and output files consumed
+
+
+def test_request_many_matches_sequential(fake_server):
+    batches = [[np.full((4,), i, np.uint8)] for i in range(5)]
+    seq = [fake_server.request(b)[0] for b in batches]
+    piped = [o[0] for o in fake_server.request_many(iter(batches))]
+    for a, b in zip(seq, piped):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_abandoned_request_many_desyncs_cleanly(fake_server):
+    batches = [[np.full((4,), i, np.uint8)] for i in range(6)]
+    gen = fake_server.request_many(iter(batches), depth=3)
+    next(gen)   # one reply consumed, two+ still in flight
+    gen.close()  # abandon
+    with pytest.raises(pjrt.NativeServerDied, match="out of sync"):
+        fake_server.request([np.zeros((4,), np.uint8)])
+
+
+def test_reply_id_mismatch_detected(fake_server):
+    # A stale reply (e.g. from a reply the client failed to read) answers
+    # an id behind the expected one — the client flags the desync instead
+    # of silently returning another request's data.
+    fake_server._req_id = 5  # client believes 5 requests were answered
+    with pytest.raises(pjrt.NativeServerDied, match="out of sync"):
+        fake_server.request([np.zeros((4,), np.uint8)])
+
+
+def test_pipeline_flag_reaches_command_line(tmp_path, monkeypatch):
+    import sys
+
+    fake = tmp_path / "argdump.py"
+    fake.write_text(
+        "import json, sys\n"
+        "open(sys.argv[sys.argv.index('--output') + 1] + '.args', 'w')"
+        ".write(json.dumps(sys.argv[1:]))\n"
+        "sys.stderr.write('ready\\n'); sys.stderr.flush()\n"
+        "sys.stdin.read()\n")
+    wrapper = tmp_path / "runner"
+    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    wrapper.chmod(0o755)
+    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+    with pjrt.NativeServer("m.mlir", [((4,), np.uint8)],
+                           str(tmp_path / "wd"), plugin="p.so",
+                           client_options={}, pipeline=3) as s:
+        args = json.loads(open(os.path.join(s.workdir, "out.args")).read())
+    assert args[args.index("--pipeline") + 1] == "3"
+
+
+_FAKE_SCORER = r'''
+import json, sys
+import numpy as np
+args = sys.argv[1:]
+out_prefix = args[args.index("--output") + 1]
+spec = args[args.index("--serve-input") + 1]      # e.g. u8:2,4,40,56,3
+dims = [int(d) for d in spec.split(":")[1].split(",")]
+sys.stderr.write("ready\n"); sys.stderr.flush()
+rid = 0
+for line in sys.stdin:
+    paths = line.split()
+    if not paths:
+        continue
+    i = rid; rid += 1
+    clips = np.fromfile(paths[0], np.uint8).reshape(dims)
+    flat = clips.reshape(dims[0], -1)
+    out = np.stack([flat.mean(1) / 255.0, flat.min(1) / 255.0,
+                    flat.max(1) / 255.0], 1).astype(np.float32)
+    f = f"{out_prefix}.req{i}.0"
+    out.tofile(f)
+    print(json.dumps({"request": i, "outputs": [
+        {"file": f, "dtype": "f32", "shape": [dims[0], 3],
+         "bytes": int(out.nbytes)}]}), flush=True)
+'''
+
+
+def test_pipelined_pack_scores_bit_match_sequential(tmp_path, monkeypatch,
+                                                    synthetic_dataset):
+    """NativeTagger.iter_pack_scores (requests kept in flight across video
+    boundaries) must be BIT-identical to the sequential scores_from_frames
+    aggregation — same chunks, same order, same f64 accumulation. A fake
+    daemon computing a deterministic score lets this run hermetically."""
+    import sys
+
+    from fastvideotagging_tpu.config import ClipSamplerConfig
+    from fastvideotagging_tpu.data.packed import Pack, write_pack
+    from fastvideotagging_tpu.data.ucf101 import load_video_list
+    from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
+    from fastvideotagging_tpu.evaluation.tagger import (
+        iter_pack_tags, rank_tags, scores_from_frames)
+
+    root, list_path = synthetic_dataset
+    records = load_video_list(list_path, root=root)
+    pack_path = str(tmp_path / "lib.fvtpack")
+    write_pack(records, pack_path, (40, 56), root=root)
+
+    art = tmp_path / "art"
+    art.mkdir()
+    sampler = {"clip_len": 4, "stride": 2, "eval_mode": "dense",
+               "num_eval_clips": 10}
+    (art / "meta.json").write_text(json.dumps({
+        "model": "fake", "num_classes": 3, "int8": False,
+        "input": {"shape": [2, 4, 40, 56, 3]}, "sampler": sampler,
+        "tag_names": ["a", "b", "c"]}))
+    (art / "serving.stablehlo").write_text("module {}")
+
+    fake = tmp_path / "fake_scorer.py"
+    fake.write_text(_FAKE_SCORER)
+    wrapper = tmp_path / "runner"
+    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    wrapper.chmod(0o755)
+    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+
+    def score_u8(clips_u8, nclips):  # the fake daemon's math, in-process
+        flat = clips_u8.reshape(clips_u8.shape[0], -1)
+        out = np.stack([flat.mean(1) / 255.0, flat.min(1) / 255.0,
+                        flat.max(1) / 255.0], 1).astype(np.float32)
+        return out[:nclips]
+
+    pack = Pack(pack_path)
+    scfg = ClipSamplerConfig(**sampler)
+    refs = {}
+    for i, rec in enumerate(pack.records(root)):
+        refs[rec.path] = scores_from_frames(
+            lambda idx, _i=i: pack.gather(_i, idx),
+            pack.entries[i]["probe_frames"], scfg, (40, 56), 3, 2, score_u8)
+
+    with NativeTagger(str(art), workdir=str(tmp_path / "wd"),
+                      plugin="fake.so", client_options={},
+                      pipeline=2) as nt:
+        piped = dict(nt.iter_pack_scores(pack_path, root=root))
+        assert list(piped) == [r.path for r in pack.records(root)]
+        for path, scores in piped.items():
+            np.testing.assert_array_equal(scores, refs[path])
+        # and the public entry dispatches to the pipelined hook
+        tagged = list(iter_pack_tags(nt, pack_path, threshold=0.0,
+                                     root=root))
+    for path, results in tagged:
+        want = rank_tags(refs[path], ["a", "b", "c"], threshold=0.0)
+        assert [(r.tag, r.score) for r in results] == \
+            [(w.tag, w.score) for w in want]
+
+
+@pytest.mark.skipif(not os.environ.get("FVT_NATIVE_SERVING"),
+                    reason="needs exclusive TPU tunnel access (one client)")
+def test_native_pipelined_daemon_on_chip(runner, tmp_path, synthetic_dataset):
+    """The REAL pjrt_runner with --pipeline 2: bulk pack tagging through
+    the pipelined daemon matches the same daemon driven strictly
+    sequentially (scores_from) — exercises the stager-thread H2D path and
+    ordered replies on actual hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvideotagging_tpu.cli.export import export_artifacts
+    from fastvideotagging_tpu.config import (
+        ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig,
+    )
+    from fastvideotagging_tpu.data.packed import Pack, write_pack
+    from fastvideotagging_tpu.data.ucf101 import load_video_list
+    from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
+
+    root, list_path = synthetic_dataset
+    records = load_video_list(list_path, root=root)
+    cfg = ExperimentConfig(
+        model=ModelConfig(name="tiny3d", num_classes=3, multilabel=True,
+                          dropout=0.0, compute_dtype="float32"),
+        data=DataConfig(resize_hw=(40, 56), crop_hw=(32, 32),
+                        sampler=ClipSamplerConfig(clip_len=4, stride=2,
+                                                  eval_mode="dense")))
+    from fastvideotagging_tpu.models import model_from_config
+
+    net = model_from_config(cfg.model)
+    variables = jax.jit(net.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+        train=False)
+    art = str(tmp_path / "art")
+    export_artifacts(cfg, variables, art, clip_batch=2, fmt="stablehlo",
+                     platforms=("tpu",), tag_names=["a", "b", "c"])
+    pack_path = str(tmp_path / "lib.fvtpack")
+    write_pack(records, pack_path, (40, 56), root=root)
+    pack = Pack(pack_path)
+
+    with NativeTagger(art, pipeline=2) as nt:
+        piped = dict(nt.iter_pack_scores(pack_path, root=root))
+        seq = {}
+        for i, rec in enumerate(pack.records(root)):
+            seq[rec.path] = nt.scores_from(
+                lambda idx, _i=i: pack.gather(_i, idx),
+                pack.entries[i]["probe_frames"])
+    assert list(piped) == [r.path for r in pack.records(root)]
+    for path in piped:
+        # same daemon, same chunks -> identical device programs; replies
+        # must be the same arrays regardless of pipelining
+        np.testing.assert_array_equal(piped[path], seq[path])
