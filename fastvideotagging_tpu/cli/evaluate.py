@@ -78,8 +78,11 @@ def main(argv=None):
         variables, apply_fn = make_int8_apply(
             cfg.model.name, variables, calib,
             multilabel=cfg.model.multilabel)
+    from fastvideotagging_tpu.parallel import make_mesh
+
+    mesh = make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
     out = evaluate(model, variables, dataset, cfg, clip_batch=args.clip_batch,
-                   threshold=args.threshold, apply_fn=apply_fn)
+                   threshold=args.threshold, apply_fn=apply_fn, mesh=mesh)
     print(json.dumps(out))
 
 

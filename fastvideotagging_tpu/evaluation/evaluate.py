@@ -36,10 +36,17 @@ def _make_apply(model, multilabel):
     )
 
 
-def _forward_scores(apply, variables, clips, clip_batch=8):
+def _forward_scores(apply, variables, clips, clip_batch=8, sharding=None):
     """Forward (K,T,ch,cw,3) clips in fixed-size chunks; returns (K,C) f32.
 
     Chunks are padded to clip_batch so only one program shape is compiled.
+    ``sharding``: optional NamedSharding for the chunk's batch axis —
+    multi-chip data-parallel eval (clips split over the mesh's data axis,
+    XLA inserts the gathers). The per-clip forward has no cross-clip math
+    (BN uses frozen stats at eval), so scores match single-device to float
+    tolerance — the sharded program is a separate executable, so only
+    fusion-level reassociation moves the last bits — and each spelling is
+    bitwise-deterministic across reruns (the [B:5] contract).
     """
     k = clips.shape[0]
     out = []
@@ -49,13 +56,33 @@ def _forward_scores(apply, variables, clips, clip_batch=8):
         if n < clip_batch:
             pad = jnp.zeros((clip_batch - n,) + tuple(chunk.shape[1:]), chunk.dtype)
             chunk = jnp.concatenate([chunk, pad], axis=0)
+        if sharding is not None:
+            chunk = jax.device_put(chunk, sharding)
         out.append(np.asarray(apply(variables, chunk))[:n])
     return np.concatenate(out, axis=0)
 
 
+def _eval_sharding(mesh, clip_batch):
+    """Batch sharding for eval chunks, or None when a mesh is absent /
+    unusable (clip_batch not divisible by the data-axis size)."""
+    if mesh is None:
+        return None
+    from fastvideotagging_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+
+    shards = mesh.shape[DATA_AXIS]
+    if shards <= 1:
+        return None
+    if clip_batch % shards:
+        log.warning(
+            "eval: clip_batch=%d not divisible by data shards %d; "
+            "evaluating unsharded", clip_batch, shards)
+        return None
+    return batch_sharding(mesh)
+
+
 def evaluate_video_scores(
     model, variables, dataset: ClipDataset, cfg: ExperimentConfig,
-    clip_batch: int = 8, apply_fn=None,
+    clip_batch: int = 8, apply_fn=None, mesh=None,
 ) -> tuple[np.ndarray, list]:
     """Per-video aggregated scores. Returns (scores (N,C) f32, records).
 
@@ -63,9 +90,13 @@ def evaluate_video_scores(
     ``model.apply`` — the hook for alternate serving engines (e.g. the int8
     PTQ engine, ops/int8_infer: pass the qpack as ``variables``). The
     aggregation spec downstream is identical, so engine comparisons are
-    bitwise-fair."""
+    bitwise-fair.
+    ``mesh``: evaluate data-parallel across it (clip chunks sharded over
+    the data axis; see tests/test_distributed.py for the 8-device ==
+    1-device equality)."""
     d = cfg.data
     apply = apply_fn or _make_apply(model, cfg.model.multilabel)
+    sharding = _eval_sharding(mesh, clip_batch)
     all_scores = []
     for i in range(len(dataset)):
         clips_u8, _rec = dataset.get_eval_clips(i)
@@ -73,7 +104,8 @@ def evaluate_video_scores(
             clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
             out_dtype_name=cfg.model.compute_dtype,
         )
-        scores = _forward_scores(apply, variables, clips, clip_batch)
+        scores = _forward_scores(apply, variables, clips, clip_batch,
+                                 sharding=sharding)
         # Aggregation spec: f32 sum in clip order, divided by clip count.
         video = scores.astype(np.float32).sum(axis=0) / scores.shape[0]
         all_scores.append(video)
@@ -82,11 +114,12 @@ def evaluate_video_scores(
 
 def evaluate(
     model, variables, dataset: ClipDataset, cfg: ExperimentConfig,
-    clip_batch: int = 8, threshold: float = 0.5, apply_fn=None,
+    clip_batch: int = 8, threshold: float = 0.5, apply_fn=None, mesh=None,
 ) -> dict:
     """Full eval pass -> scalar metrics dict."""
     scores, records = evaluate_video_scores(model, variables, dataset, cfg,
-                                            clip_batch, apply_fn=apply_fn)
+                                            clip_batch, apply_fn=apply_fn,
+                                            mesh=mesh)
     out: dict = {"num_videos": len(records)}
     if cfg.model.multilabel:
         multihot = np.stack([r.multihot(cfg.model.num_classes) for r in records])
@@ -101,10 +134,12 @@ def evaluate(
 
 
 def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
-                 clip_batch: int = 8):
+                 clip_batch: int = 8, mesh=None):
     """Builds the per-epoch eval hook used by train.fit.
 
     ``val_records``: VideoRecords or a ``.fvtpack`` path (decode-once tier).
+    ``mesh``: run the eval forward data-parallel over it (fit passes its
+    training mesh so the per-epoch eval uses every chip, not one).
     """
     from fastvideotagging_tpu.data.packed import open_dataset
 
@@ -119,7 +154,7 @@ def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
     def eval_fn(state, epoch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scalars = evaluate(model, variables, dataset, cfg, clip_batch,
-                           apply_fn=apply)
+                           apply_fn=apply, mesh=mesh)
         log.info("epoch %d eval: %s", epoch, scalars)
         return scalars
 

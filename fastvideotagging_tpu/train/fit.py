@@ -50,11 +50,14 @@ def fit(
     mismatches raise.
     """
     t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.model
+    mesh = mesh or make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
     if eval_fn is None and val_records:
         from fastvideotagging_tpu.evaluation.evaluate import make_eval_fn
 
-        eval_fn = make_eval_fn(cfg, val_records, num_tags=num_tags)
-    mesh = mesh or make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
+        # per-epoch eval rides the SAME mesh as training (data-parallel
+        # clip chunks), not a single chip
+        eval_fn = make_eval_fn(cfg, val_records, num_tags=num_tags,
+                               mesh=mesh)
     data_shards = mesh.shape[cfg.parallel.data_axis]
     if t_cfg.batch_size % data_shards != 0:
         raise ValueError(

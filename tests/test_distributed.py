@@ -98,3 +98,49 @@ def test_data_model_mesh_step_runs():
     batch = shard_batch(mesh, synth_batch(cfg))
     out, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+def test_dp_eval_matches_single_device(synthetic_dataset):
+    """Multi-clip evaluation sharded over the data axis must reproduce the
+    single-device video scores to float tolerance: eval has no cross-clip
+    math (frozen BN stats), so only executable-level reassociation (the
+    sharded program compiles separately) can move the last bits. Each
+    spelling is itself bitwise-deterministic across reruns."""
+    from fastvideotagging_tpu.data.pipeline import ClipDataset
+    from fastvideotagging_tpu.data.ucf101 import load_video_list
+    from fastvideotagging_tpu.evaluation.evaluate import evaluate_video_scores
+
+    root, list_path = synthetic_dataset
+    records = load_video_list(list_path, root=root)
+    cfg = tiny_cfg()
+    model, state = make_state(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    dataset = ClipDataset(records[:3], cfg.data, mode="eval")
+
+    ref, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                   clip_batch=8)
+    mesh = make_mesh(8, 1)
+    got, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                   clip_batch=8, mesh=mesh)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    got2, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                    clip_batch=8, mesh=mesh)
+    np.testing.assert_array_equal(got2, got)  # sharded rerun IS bitwise
+
+
+def test_dp_eval_falls_back_when_indivisible(synthetic_dataset, caplog):
+    from fastvideotagging_tpu.data.pipeline import ClipDataset
+    from fastvideotagging_tpu.data.ucf101 import load_video_list
+    from fastvideotagging_tpu.evaluation.evaluate import evaluate_video_scores
+
+    root, list_path = synthetic_dataset
+    records = load_video_list(list_path, root=root)
+    cfg = tiny_cfg()
+    model, state = make_state(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    dataset = ClipDataset(records[:1], cfg.data, mode="eval")
+    mesh = make_mesh(8, 1)
+    ref, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                   clip_batch=8)
+    got, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                   clip_batch=3, mesh=mesh)  # 3 % 8 != 0
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
