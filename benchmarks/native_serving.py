@@ -139,6 +139,52 @@ def daemon_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
     return row
 
 
+def daemon_pipelined_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
+    """Round-3b: the SAME warm-daemon workload as daemon_row, but through
+    --pipeline 2 + request_many — the stager thread H2D-stages request
+    N+k while N executes, and the client keeps 3 requests in flight.
+    Upper bound here is the dev tunnel: staging (~0.77 s/req through the
+    ~11 MB/s tunnel) utterly dominates execute (~9 ms), so overlap can
+    hide only the execute+readback slice; on a real host (H2D ~ execute)
+    the same mechanism approaches 2x. Scores are asserted equal to the
+    sequential daemon's on the same inputs."""
+    import time
+
+    cfg = _cfg("bfloat16")
+    _, variables = _variables(cfg)
+    mod = os.path.join(workdir, "serve_daemon_p.stablehlo")
+    export_serving_stablehlo(cfg, variables, clip_batch=batch, path=mod,
+                             platforms=("tpu",))
+    rng = np.random.default_rng(2)
+    reqs = [rng.integers(0, 255, (batch, 16, 128, 171, 3)).astype(np.uint8)
+            for _ in range(n + 2)]
+    with pjrt.NativeServer(mod, [((batch, 16, 128, 171, 3), np.uint8)],
+                           os.path.join(workdir, "daemon_p"),
+                           pipeline=2) as srv:
+        seq = [srv.request([clips])[0] for clips in reqs[:2]]  # warm + ref
+        t0 = time.monotonic()
+        outs = [o for o, in srv.request_many([c] for c in reqs[2:])]
+        sec = (time.monotonic() - t0) / n
+        # pipelined replies equal the sequential daemon on repeat inputs
+        re_seq = [srv.request([clips])[0] for clips in reqs[2:4]]
+    for a, b in zip(outs[:2], re_seq):
+        np.testing.assert_array_equal(a, b)
+    del seq
+    row = {"model": "r2plus1d_18", "compute_dtype": "bfloat16",
+           "clip_batch": batch, "requests": n, "pipeline": 2,
+           "sec_per_request": round(sec, 6),
+           "clips_per_sec": round(batch / sec, 2),
+           "note": ("same workload as the daemon row with --pipeline 2 + "
+                    "request_many; on this box the tunnel's H2D staging "
+                    "serializes in the stager thread, so the saving is "
+                    "only the execute+readback slice — the mechanism's "
+                    "real headroom needs host-grade H2D")}
+    print(f"daemon pipelined: {row['clips_per_sec']} clips/s "
+          f"({sec * 1e3:.2f} ms/request at B={batch}, pipeline=2)",
+          flush=True)
+    return row
+
+
 def int8_row(workdir: str, batch: int = 8, n: int = 21) -> dict:
     """Round-3b: the int8 PTQ engine THROUGH the native runner — the
     quantized program (int8 weights + requant epilogues baked as
@@ -174,7 +220,8 @@ def int8_row(workdir: str, batch: int = 8, n: int = 21) -> dict:
 
 
 ROWS = {"parity": parity_row, "throughput": throughput_row,
-        "daemon": daemon_row, "int8": int8_row}
+        "daemon": daemon_row, "daemon_pipelined": daemon_pipelined_row,
+        "int8": int8_row}
 
 
 def main(argv=None):
