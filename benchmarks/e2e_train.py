@@ -32,12 +32,9 @@ import dataclasses
 import json
 import os
 import statistics
-import struct
 import sys
 import tempfile
 import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -46,33 +43,18 @@ OUT = os.path.join(os.path.dirname(__file__), "E2E_TRAIN.json")
 
 def write_synth_pack(path: str, num_videos: int, frames_per_video: int,
                      hw: tuple[int, int], num_classes: int = 8) -> None:
-    """Emit pack-format bytes (data/packed.py layout v1) straight from
-    synthetic frames — prep tooling for the bench; the production reader
-    (Pack/PackedDataset) consumes it unmodified."""
-    from fastvideotagging_tpu.data.packed import MAGIC, _HEADER
+    """Synthetic frames -> pack, via the format-owning writer in
+    data/packed.py (no codec round-trip; the production reader consumes
+    it unmodified)."""
+    from fastvideotagging_tpu.data.packed import write_pack_from_arrays
     from fastvideotagging_tpu.data.synthetic import make_frames
 
     h, w = hw
-    entries = []
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<Q", 0))
-        for i in range(num_videos):
-            start = f.tell()
-            frames = make_frames(i % num_classes, frames_per_video, h, w,
-                                 seed=i)
-            f.write(np.ascontiguousarray(frames))
-            entries.append({
-                "path": f"synth/v{i:05d}.mp4", "label": i % num_classes,
-                "tags": [], "frames": frames_per_video,
-                "probe_frames": frames_per_video,
-                "offset": start - _HEADER,
-            })
-        index_offset = f.tell()
-        f.write(json.dumps(
-            {"height": h, "width": w, "videos": entries}).encode())
-        f.seek(len(MAGIC))
-        f.write(struct.pack("<Q", index_offset))
+    write_pack_from_arrays(
+        ((f"synth/v{i:05d}.mp4", i % num_classes, [],
+          make_frames(i % num_classes, frames_per_video, h, w, seed=i))
+         for i in range(num_videos)),
+        path, hw)
 
 
 def run(num_videos: int, frames_per_video: int, epochs: int,

@@ -80,7 +80,20 @@ def main(argv=None):
             multilabel=cfg.model.multilabel)
     from fastvideotagging_tpu.parallel import make_mesh
 
-    mesh = make_mesh(cfg.parallel.data_parallel, cfg.parallel.model_parallel)
+    try:
+        mesh = make_mesh(cfg.parallel.data_parallel,
+                         cfg.parallel.model_parallel)
+    except ValueError as e:
+        # eval only shards the clip batch over the data axis; a config
+        # whose (training) parallelism doesn't fit the local devices —
+        # e.g. a model_parallel preset evaluated on one chip — must still
+        # evaluate, just unsharded
+        from fastvideotagging_tpu.utils.logging import get_logger
+
+        get_logger("fvt.eval").warning(
+            "eval: config mesh unavailable on this host (%s); "
+            "evaluating unsharded", e)
+        mesh = None
     out = evaluate(model, variables, dataset, cfg, clip_batch=args.clip_batch,
                    threshold=args.threshold, apply_fn=apply_fn, mesh=mesh)
     print(json.dumps(out))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 from fastvideotagging_tpu.cli.common import add_common_flags, build_config
 from fastvideotagging_tpu.data.packed import is_pack
@@ -65,6 +66,18 @@ def main(argv=None):
         if args.int8:
             raise SystemExit("--int8 is baked at export time for the native "
                              "engine (cli.export --int8)")
+        # The native engine's sampling/batch contract is FROZEN in the
+        # exported meta.json — silently ignoring these flags would be the
+        # silent-misconfig class this CLI is built to refuse.
+        raw = list(argv) if argv is not None else sys.argv[1:]
+        frozen = {"--weights", "--clip-len", "--stride", "--eval-mode",
+                  "--num-eval-clips", "--clip-batch", "--resize", "--crop"}
+        offending = sorted(frozen.intersection(raw))
+        if offending:
+            raise SystemExit(
+                f"{' '.join(offending)}: fixed at export time for "
+                f"--engine native (see {args.artifacts}/meta.json); "
+                f"re-export with cli.export to change them")
         from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
 
         tagger = NativeTagger(args.artifacts, tag_names=tag_names,

@@ -63,6 +63,75 @@ def is_pack(path) -> bool:
     return isinstance(path, (str, os.PathLike)) and str(path).endswith(PACK_EXT)
 
 
+class _PackWriter:
+    """Low-level writer of the pack layout (one place owns the format:
+    header patching, per-video index entries, JSON footer)."""
+
+    def __init__(self, f, resize_hw, num_tags=None):
+        self.f = f
+        self.h, self.w = resize_hw
+        self.num_tags = num_tags
+        self.entries: list[dict] = []
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", 0))  # index offset, patched by finish()
+
+    def begin_video(self) -> int:
+        """Start a video; returns the rollback position for abort_video."""
+        return self.f.tell()
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        if frames.shape[1:3] != (self.h, self.w):
+            raise ValueError(
+                f"frames {frames.shape[1:3]} != pack geometry "
+                f"({self.h}, {self.w})")
+        self.f.write(np.ascontiguousarray(frames, dtype=np.uint8))
+
+    def end_video(self, start: int, path: str, label, tags,
+                  frames: int, probe_frames: int) -> None:
+        self.entries.append({
+            "path": path, "label": label, "tags": list(tags),
+            "frames": frames, "probe_frames": probe_frames,
+            "offset": start - _HEADER,
+        })
+
+    def abort_video(self, start: int) -> None:
+        self.f.seek(start)
+        self.f.truncate()
+
+    def finish(self) -> None:
+        index_offset = self.f.tell()
+        index = {"height": self.h, "width": self.w, "videos": self.entries}
+        if self.num_tags is not None:
+            index["num_tags"] = self.num_tags
+        self.f.write(json.dumps(index).encode())
+        self.f.seek(len(MAGIC))
+        self.f.write(struct.pack("<Q", index_offset))
+
+
+def write_pack_from_arrays(items, out_path: str, resize_hw,
+                           num_tags: int | None = None) -> dict:
+    """Write a pack directly from in-memory frame stacks — the prep path
+    for synthetic/benchmark datasets (no codec round-trip; the production
+    reader consumes it unmodified). ``items`` yields
+    ``(path, label, tags, frames)`` with frames uint8 (T, H, W, 3) already
+    at the pack geometry. Atomic like write_pack."""
+    tmp = str(out_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        w = _PackWriter(f, resize_hw, num_tags)
+        for path, label, tags, frames in items:
+            start = w.begin_video()
+            w.write_frames(frames)
+            w.end_video(start, path, label, tags, len(frames), len(frames))
+        w.finish()
+    os.replace(tmp, out_path)
+    h, wid = resize_hw
+    return {"videos": len(w.entries), "skipped": 0,
+            "frames": sum(e["frames"] for e in w.entries),
+            "bytes": _HEADER + sum(e["frames"] for e in w.entries)
+            * h * wid * 3,
+            "path": str(out_path)}
+
+
 def write_pack(records, out_path: str, resize_hw, root: str = "",
                chunk_size: int = 256, num_tags: int | None = None) -> dict:
     """Decode each record once -> ship-geometry uint8 stacks in a flat file.
@@ -77,49 +146,32 @@ def write_pack(records, out_path: str, resize_hw, root: str = "",
     Returns a summary dict.
     """
     h, w = resize_hw
-    frame_bytes = h * w * 3
-    entries: list[dict] = []
     skipped = 0
     tmp = str(out_path) + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<Q", 0))  # index offset, patched at the end
+        writer = _PackWriter(f, resize_hw, num_tags)
         for rec in records:
-            start = f.tell()
+            start = writer.begin_video()
             try:
                 probe_n = max(int(decode.probe_video(rec.path)[0]), 1)
                 stored = 0
                 for chunk in decode.iter_frame_chunks(rec.path, chunk_size):
                     if chunk.shape[1:3] != (h, w):
                         chunk = _ensure_size(chunk, (h, w))
-                    f.write(np.ascontiguousarray(chunk))
+                    writer.write_frames(chunk)
                     stored += len(chunk)
             except decode.DecodeError as e:
                 log.warning("pack: skipping undecodable %s (%s)", rec.path, e)
-                f.seek(start)
-                f.truncate()
+                writer.abort_video(start)
                 skipped += 1
                 continue
             rel = os.path.relpath(rec.path, root) if root else rec.path
-            entries.append({
-                "path": rel,
-                "label": rec.label,
-                "tags": list(rec.tags),
-                "frames": stored,
-                "probe_frames": probe_n,
-                "offset": start - _HEADER,
-            })
-        index_offset = f.tell()
-        index = {"height": h, "width": w, "videos": entries}
-        if num_tags is not None:
-            index["num_tags"] = num_tags
-        f.write(json.dumps(index).encode())
-        f.seek(len(MAGIC))
-        f.write(struct.pack("<Q", index_offset))
+            writer.end_video(start, rel, rec.label, rec.tags, stored, probe_n)
+        writer.finish()
     os.replace(tmp, out_path)
-    data_bytes = sum(e["frames"] for e in entries) * frame_bytes
-    return {"videos": len(entries), "skipped": skipped,
-            "frames": sum(e["frames"] for e in entries),
+    data_bytes = sum(e["frames"] for e in writer.entries) * h * w * 3
+    return {"videos": len(writer.entries), "skipped": skipped,
+            "frames": sum(e["frames"] for e in writer.entries),
             "bytes": _HEADER + data_bytes, "path": str(out_path)}
 
 

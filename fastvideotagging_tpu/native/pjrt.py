@@ -308,20 +308,25 @@ class NativeServer:
         pipelined mode can happen well after the write."""
         if self._desync:
             raise NativeServerDied(
-                "native server protocol is out of sync (a pipelined "
-                "request_many was abandoned with replies unread); close() "
-                "and start a fresh server")
+                "native server protocol is out of sync (an earlier reply "
+                "was lost or mismatched); close() and start a fresh server")
         if len(inputs) != len(self.specs):
             raise ValueError(
                 f"{len(inputs)} inputs for {len(self.specs)} specs")
-        rid = self._req_id
-        self._req_id += 1
-        paths = []
+        # Validate EVERYTHING before the request id is allocated or any
+        # file is written: a client-side ValueError must leave the line
+        # protocol untouched (ids are matched against replies).
+        arrays = []
         for i, (arr, (shape, dt)) in enumerate(zip(inputs, self.specs)):
             arr = np.ascontiguousarray(arr, dtype=dt)
             if arr.shape != shape:
                 raise ValueError(
                     f"input {i} shape {arr.shape} != spec {shape}")
+            arrays.append(arr)
+        rid = self._req_id
+        self._req_id += 1
+        paths = []
+        for i, arr in enumerate(arrays):
             path = os.path.join(self.workdir, f"req{rid}_in{i}.bin")
             arr.tofile(path)
             paths.append(path)
@@ -369,9 +374,13 @@ class NativeServer:
         --pipeline stage-ahead + 1 executing, or 2). With a plain daemon
         this overlaps host-side framing with device work; with
         ``pipeline > 0`` the daemon additionally overlaps H2D staging of
-        request N+k with execution of request N. Abandoning the generator
-        with replies still in flight leaves the line protocol out of sync —
-        the server then refuses further requests (close() and restart)."""
+        request N+k with execution of request N.
+
+        The daemon's per-request fault isolation survives pipelining: if a
+        reply raises (soft daemon error) or the consumer abandons the
+        generator, the remaining in-flight replies are DRAINED (blocking
+        reads, errors swallowed) so the line protocol stays in sync and
+        the server remains usable for further requests."""
         from collections import deque
 
         depth = depth if depth is not None else max(2, self.pipeline + 1)
@@ -388,16 +397,19 @@ class NativeServer:
                 rid, paths = inflight.popleft()
                 yield self._read_reply(rid, paths)
         finally:
-            if inflight:
-                # Closed early (or a reply raised): unanswered replies are
-                # still queued in the pipe, so the protocol is desynced for
-                # any future request — mark it and drain our input files
-                # (the daemon answers soft errors for ones it can't read).
-                self._desync = True
-                for _rid, paths in inflight:
-                    for p in paths:
-                        if os.path.exists(p):
-                            os.unlink(p)
+            while inflight:
+                rid, paths = inflight.popleft()
+                try:
+                    self._read_reply(rid, paths)
+                except ValueError:
+                    pass  # soft per-request error; protocol still in sync
+                except NativeServerDied:
+                    self._desync = True  # dead or mismatched — unusable
+                    for _rid, ps in inflight:
+                        for p in ps:
+                            if os.path.exists(p):
+                                os.unlink(p)
+                    break
 
     def close(self) -> None:
         if self._proc.poll() is None:

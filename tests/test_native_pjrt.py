@@ -221,6 +221,10 @@ for line in sys.stdin:
         print(json.dumps({"request": i, "error": "cannot read input 0"}),
               flush=True)
         continue
+    if arr.size and arr[0] == 255:  # poison value -> soft error reply
+        print(json.dumps({"request": i, "error": "poisoned request"}),
+              flush=True)
+        continue
     out = arr.astype(np.float32) * 2.0
     f = f"{out_prefix}.req{i}.0"
     out.tofile(f)
@@ -267,13 +271,39 @@ def test_request_many_matches_sequential(fake_server):
         np.testing.assert_array_equal(a, b)
 
 
-def test_abandoned_request_many_desyncs_cleanly(fake_server):
+def test_abandoned_request_many_drains_and_stays_usable(fake_server):
     batches = [[np.full((4,), i, np.uint8)] for i in range(6)]
     gen = fake_server.request_many(iter(batches), depth=3)
     next(gen)   # one reply consumed, two+ still in flight
-    gen.close()  # abandon
-    with pytest.raises(pjrt.NativeServerDied, match="out of sync"):
-        fake_server.request([np.zeros((4,), np.uint8)])
+    gen.close()  # abandon: in-flight replies are drained, protocol intact
+    out, = fake_server.request([np.full((4,), 9, np.uint8)])
+    np.testing.assert_array_equal(out, np.full((4,), 18.0, np.float32))
+    leftovers = [f for f in os.listdir(fake_server.workdir)
+                 if f.startswith(("req", "out"))]
+    assert leftovers == []
+
+
+def test_client_validation_error_leaves_protocol_intact(fake_server):
+    # a shape mismatch raises BEFORE a request id is consumed or any
+    # stdin line is written, so the server keeps working afterwards
+    with pytest.raises(ValueError, match="shape"):
+        fake_server.request([np.zeros((3,), np.uint8)])
+    out, = fake_server.request([np.full((4,), 2, np.uint8)])
+    np.testing.assert_array_equal(out, np.full((4,), 4.0, np.float32))
+
+
+def test_soft_error_mid_pipeline_keeps_server_usable(fake_server):
+    """One daemon-side per-request error must not cost the whole warm
+    server: the generator raises for that request, drains the rest, and
+    further requests work — fault isolation survives pipelining."""
+    batches = [[np.full((4,), i, np.uint8)] for i in (1, 2, 255, 4, 5)]
+    got = []
+    with pytest.raises(ValueError, match="poisoned"):
+        for out, in fake_server.request_many(iter(batches), depth=3):
+            got.append(out)
+    assert len(got) == 2  # the two requests before the poisoned one
+    out, = fake_server.request([np.full((4,), 7, np.uint8)])
+    np.testing.assert_array_equal(out, np.full((4,), 14.0, np.float32))
 
 
 def test_reply_id_mismatch_detected(fake_server):

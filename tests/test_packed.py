@@ -354,3 +354,34 @@ class TestPackTagging:
         assert len(lines) == len(records)
         assert {r["video"] for r in lines} == {r.path for r in records}
         assert all(len(r["tags"]) == 2 for r in lines)
+
+
+def test_write_pack_from_arrays_roundtrip(tmp_path):
+    """The array-direct writer (benchmark/synthetic prep) produces packs
+    the production reader serves verbatim — the format has ONE owner
+    (_PackWriter), so this also pins the layout."""
+    import numpy as np
+
+    from fastvideotagging_tpu.data.packed import Pack, write_pack_from_arrays
+    from fastvideotagging_tpu.data.synthetic import make_frames
+
+    items = [(f"v{i}.mp4", i % 3, [], make_frames(i, 6, 40, 56, seed=i))
+             for i in range(4)]
+    out = str(tmp_path / "arrays.fvtpack")
+    summary = write_pack_from_arrays(iter(items), out, (40, 56))
+    assert summary["videos"] == 4 and summary["frames"] == 24
+
+    pack = Pack(out)
+    assert (pack.height, pack.width) == (40, 56)
+    for i, (path, label, _tags, frames) in enumerate(items):
+        assert pack.entries[i]["path"] == path
+        assert pack.entries[i]["label"] == label
+        got = pack.gather(i, np.arange(6))
+        np.testing.assert_array_equal(got, frames)
+    # geometry is enforced at write time
+    import pytest
+
+    with pytest.raises(ValueError, match="pack geometry"):
+        write_pack_from_arrays(
+            [("x.mp4", 0, [], make_frames(0, 4, 32, 32))],
+            str(tmp_path / "bad.fvtpack"), (40, 56))
