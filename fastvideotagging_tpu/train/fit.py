@@ -193,7 +193,13 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                           num_workers=d_cfg.num_workers),
             sharding=data_sh, depth=d_cfg.prefetch_depth,
         )
-        for batch in batches:
+        data_wait = 0.0  # host-blocked-on-loader time this logging window
+        while True:
+            t_wait = time.time()
+            batch = next(batches, None)
+            if batch is None:
+                break
+            data_wait += time.time() - t_wait
             if stopper.stop_requested:
                 ckpt.save(global_step, state,
                           {"epoch": epoch - 1})
@@ -208,11 +214,19 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                 loss_avg.update(metrics["loss"], t_cfg.batch_size)
                 if "top1" in metrics:
                     top1_avg.update(metrics["top1"], t_cfg.batch_size)
-                speed = t_cfg.log_every * t_cfg.batch_size / (time.time() - tic)
+                window = time.time() - tic
+                speed = t_cfg.log_every * t_cfg.batch_size / window
+                # data_wait_frac: share of the window the host spent BLOCKED
+                # on the loader (prefetch starvation). ~0 means data IO is
+                # fully hidden behind the device — the 'Fast' contract; near
+                # 1 means loader-bound (use cli.prepare --pack).
+                wait_frac = data_wait / window if window > 0 else 0.0
+                data_wait = 0.0
                 tic = time.time()
                 mlog.log(global_step, epoch=epoch, loss=float(metrics["loss"]),
                          top1=float(metrics.get("top1", float("nan"))),
-                         samples_per_sec=speed)
+                         samples_per_sec=speed,
+                         data_wait_frac=round(wait_frac, 4))
             if (t_cfg.checkpoint_every_steps
                     and global_step % t_cfg.checkpoint_every_steps == 0):
                 # Mid-epoch save records epoch-1 (like the graceful-stop path)

@@ -80,3 +80,44 @@ def test_crop_offsets_in_range(h, w, data):
     rng = sampler.train_rng(0, 0, 0)
     top, left = sampler.random_crop_offsets(h, w, ch, cw, rng)
     assert 0 <= top <= h - ch and 0 <= left <= w - cw
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(min_value=1, max_value=500),
+       t=st.integers(min_value=1, max_value=16),
+       s=st.integers(min_value=1, max_value=4),
+       mode=st.sampled_from(["center", "uniform", "dense"]),
+       cb=st.integers(min_value=1, max_value=9))
+def test_eval_chunking_invariants(n, t, s, mode, cb):
+    """iter_eval_chunks must present EVERY sampled clip exactly once, in
+    clip order, padded to one compiled shape — for any sampler geometry
+    and clip_batch. (The chunking is shared by every serving engine, incl.
+    the pipelined native path, so this pins what all of them score.)"""
+    from fastvideotagging_tpu.config import ClipSamplerConfig
+    from fastvideotagging_tpu.evaluation.tagger import (
+        eval_clip_index, iter_eval_chunks)
+
+    scfg = ClipSamplerConfig(clip_len=t, stride=s, eval_mode=mode,
+                             num_eval_clips=5)
+    clip_idx = eval_clip_index(n, scfg)
+    k = clip_idx.shape[0]
+    h, w = 6, 7
+    # frames whose content encodes the frame index -> chunk contents prove
+    # which clips were read
+    frames = (np.arange(n, dtype=np.int64) % 251).astype(np.uint8)
+    frames = np.broadcast_to(
+        frames[:, None, None, None], (n, h, w, 3)).copy()
+
+    seen = []
+    for clips_u8, nclips in iter_eval_chunks(
+            lambda idx: frames[idx], clip_idx, (h, w), cb):
+        assert clips_u8.shape == (cb, t, h, w, 3)  # ONE compiled shape
+        assert 1 <= nclips <= cb
+        assert clips_u8.dtype == np.uint8
+        if nclips < cb:  # padding rows are zeros
+            assert (clips_u8[nclips:] == 0).all()
+        seen.append(clips_u8[:nclips])
+    got = np.concatenate(seen, axis=0)
+    assert got.shape[0] == k  # every clip exactly once
+    want = frames[clip_idx.reshape(-1)].reshape(k, t, h, w, 3)
+    np.testing.assert_array_equal(got, want)  # in clip order, verbatim
