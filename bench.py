@@ -301,6 +301,28 @@ def main():
     loader_clips, packed_clips = _safe(_loader_row, (-1.0, -1.0),
                                        "host loader")
 
+    def _e2e_row():
+        # user-visible fit() throughput: packed loader + prefetch + jitted
+        # step + logging, epoch boundaries included (benchmarks/e2e_train.py)
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import contextlib
+
+        from e2e_train import run
+
+        # the driver reads EXACTLY one JSON line from stdout — the bench's
+        # progress prints must ride stderr
+        with contextlib.redirect_stdout(sys.stderr):
+            row = run(num_videos=256, frames_per_video=20, epochs=3,
+                      log_every=4, smoke=False)
+        return (row["e2e_clips_per_sec_median"],
+                row["first_window_clips_per_sec"])
+
+    e2e_clips, e2e_first = _safe(_e2e_row, (-1.0, -1.0), "e2e fit")
+
     peak = _detect_peak_tflops()
     peak_frac = achieved_tflops / peak if peak else 0.0
     # Target [B:2]: >=90% of the TPU conv3d ROOFLINE. The roofline of this
@@ -342,6 +364,8 @@ def main():
             "frozen_bn_clips_per_sec": round(frozen_clips, 2),
             "host_decode_clips_per_sec": round(loader_clips, 2),
             "packed_loader_clips_per_sec": round(packed_clips, 2),
+            "e2e_fit_clips_per_sec": round(e2e_clips, 2),
+            "e2e_fit_first_window_clips_per_sec": round(e2e_first, 2),
             "batch_size": batch_size,
             "device": jax.devices()[0].device_kind,
         },
