@@ -480,3 +480,54 @@ def test_native_pipelined_daemon_on_chip(runner, tmp_path, synthetic_dataset):
         # same daemon, same chunks -> identical device programs; replies
         # must be the same arrays regardless of pipelining
         np.testing.assert_array_equal(piped[path], seq[path])
+
+
+def test_cli_tag_native_engine_hermetic(tmp_path, monkeypatch, capsys,
+                                        synthetic_dataset):
+    """cli.tag --engine native end to end against the fake scoring daemon:
+    argument wiring, pack bulk path, JSON output shape, engine cleanup."""
+    import sys
+
+    from fastvideotagging_tpu.cli import tag as cli_tag
+    from fastvideotagging_tpu.data.packed import write_pack
+    from fastvideotagging_tpu.data.ucf101 import load_video_list
+
+    root, list_path = synthetic_dataset
+    records = load_video_list(list_path, root=root)
+    pack_path = str(tmp_path / "lib.fvtpack")
+    write_pack(records, pack_path, (40, 56), root=root)
+
+    art = tmp_path / "art"
+    art.mkdir()
+    (art / "meta.json").write_text(json.dumps({
+        "model": "fake", "num_classes": 3, "int8": False,
+        "input": {"shape": [2, 4, 40, 56, 3]},
+        "sampler": {"clip_len": 4, "stride": 2, "eval_mode": "dense",
+                    "num_eval_clips": 10},
+        "tag_names": ["a", "b", "c"]}))
+    (art / "serving.stablehlo").write_text("module {}")
+    fake = tmp_path / "fake_scorer.py"
+    fake.write_text(_FAKE_SCORER)
+    wrapper = tmp_path / "runner"
+    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    wrapper.chmod(0o755)
+    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+    monkeypatch.setattr(pjrt, "default_plugin", lambda: "fake.so")
+    monkeypatch.setattr(pjrt, "plugin_client_options_for", lambda p: {})
+
+    cli_tag.main([pack_path, "--engine", "native", "--artifacts", str(art),
+                  "--data-root", root, "--model", "tiny3d",
+                  "--num-classes", "3", "--multilabel",
+                  "--threshold", "0.0"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+    assert len(lines) == len(records)
+    assert [l["video"] for l in lines] == [r.path for r in records]
+    for l in lines:
+        assert {t["tag"] for t in l["tags"]} == {"a", "b", "c"}
+        assert all(0.0 <= t["score"] <= 1.0 for t in l["tags"])
+
+    # sampler-affecting flags are refused, not silently ignored
+    with pytest.raises(SystemExit, match="fixed at export time"):
+        cli_tag.main([pack_path, "--engine", "native",
+                      "--artifacts", str(art), "--model", "tiny3d",
+                      "--num-classes", "3", "--eval-mode", "uniform"])
