@@ -70,10 +70,51 @@ class NativeTagger:
     def _score_u8(self, clips_u8: np.ndarray, nclips: int) -> np.ndarray:
         return self.server.request([clips_u8])[0][:nclips]
 
+    def _pipelined_scores(self, chunks, num_clips: int) -> np.ndarray:
+        """Aggregate one video's scores with up to pipeline+1 chunk
+        requests in flight (host decode / mmap gather of chunk k+1 overlaps
+        the daemon's execution of chunk k). Chunks come from the shared
+        ``iter_eval_chunks`` in clip order and the f64 accumulation is the
+        ``scores_from_frames`` spec — bit-identical to sequential."""
+        nclips_per_req: list[int] = []
+
+        def requests():
+            for clips_u8, nclips in chunks:
+                nclips_per_req.append(nclips)
+                yield [clips_u8]
+
+        total = np.zeros((self.num_classes,), np.float64)
+        depth = max(1, self.server.pipeline + 1)
+        for m, outs in enumerate(self.server.request_many(requests(),
+                                                          depth=depth)):
+            total += np.asarray(
+                outs[0][:nclips_per_req[m]]).astype(np.float64).sum(axis=0)
+        return (total / num_clips).astype(np.float32)
+
     def video_scores(self, video_path: str) -> np.ndarray:
-        return stream_video_scores(
-            video_path, self.sampler_cfg, self.ship_hw, self.num_classes,
-            self.clip_batch, self._score_u8)
+        if self.server.pipeline <= 0:
+            return stream_video_scores(
+                video_path, self.sampler_cfg, self.ship_hw, self.num_classes,
+                self.clip_batch, self._score_u8)
+        # pipelined: the single forward decode pass feeds chunks into the
+        # daemon ahead of execution (same one-pass reader + overlap cache
+        # as stream_video_scores)
+        from fastvideotagging_tpu.data import decode
+        from fastvideotagging_tpu.evaluation.tagger import (
+            eval_clip_index,
+            iter_eval_chunks,
+        )
+
+        s = self.sampler_cfg
+        n, _, _, _ = decode.probe_video(video_path)
+        span = (s.clip_len - 1) * s.stride + 1
+        clip_idx = eval_clip_index(n, s)
+        with decode.SequentialReader(
+                video_path, cache_size=max(128, 2 * span)) as reader:
+            return self._pipelined_scores(
+                iter_eval_chunks(reader.read, clip_idx, self.ship_hw,
+                                 self.clip_batch),
+                clip_idx.shape[0])
 
     def scores_from(self, read_frames, n_frames: int) -> np.ndarray:
         """Aggregated scores from an arbitrary frame source (e.g. a pack)."""

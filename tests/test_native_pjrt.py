@@ -531,3 +531,51 @@ def test_cli_tag_native_engine_hermetic(tmp_path, monkeypatch, capsys,
         cli_tag.main([pack_path, "--engine", "native",
                       "--artifacts", str(art), "--model", "tiny3d",
                       "--num-classes", "3", "--eval-mode", "uniform"])
+
+
+def test_pipelined_streaming_video_scores_bit_match(tmp_path, monkeypatch,
+                                                    synthetic_dataset):
+    """NativeTagger.video_scores with pipeline>0 (decode overlapping the
+    daemon) must be bit-identical to the sequential streaming path — same
+    one-pass reader, same chunks, same f64 accumulation."""
+    import sys
+
+    from fastvideotagging_tpu.config import ClipSamplerConfig
+    from fastvideotagging_tpu.data.ucf101 import load_video_list
+    from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
+    from fastvideotagging_tpu.evaluation.tagger import stream_video_scores
+
+    root, list_path = synthetic_dataset
+    records = load_video_list(list_path, root=root)
+
+    art = tmp_path / "art"
+    art.mkdir()
+    sampler = {"clip_len": 4, "stride": 2, "eval_mode": "dense",
+               "num_eval_clips": 10}
+    (art / "meta.json").write_text(json.dumps({
+        "model": "fake", "num_classes": 3, "int8": False,
+        "input": {"shape": [2, 4, 40, 56, 3]}, "sampler": sampler,
+        "tag_names": ["a", "b", "c"]}))
+    (art / "serving.stablehlo").write_text("module {}")
+    fake = tmp_path / "fake_scorer.py"
+    fake.write_text(_FAKE_SCORER)
+    wrapper = tmp_path / "runner"
+    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
+    wrapper.chmod(0o755)
+    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+
+    def score_u8(clips_u8, nclips):
+        flat = clips_u8.reshape(clips_u8.shape[0], -1)
+        out = np.stack([flat.mean(1) / 255.0, flat.min(1) / 255.0,
+                        flat.max(1) / 255.0], 1).astype(np.float32)
+        return out[:nclips]
+
+    scfg = ClipSamplerConfig(**sampler)
+    with NativeTagger(str(art), workdir=str(tmp_path / "wd"),
+                      plugin="fake.so", client_options={},
+                      pipeline=2) as nt:
+        for rec in records[:2]:
+            ref = stream_video_scores(rec.path, scfg, (40, 56), 3, 2,
+                                      score_u8)
+            got = nt.video_scores(rec.path)
+            np.testing.assert_array_equal(got, ref)
