@@ -579,3 +579,22 @@ def test_pipelined_streaming_video_scores_bit_match(tmp_path, monkeypatch,
                                       score_u8)
             got = nt.video_scores(rec.path)
             np.testing.assert_array_equal(got, ref)
+
+
+def test_daemon_death_mid_pipeline_flags_desync(fake_server):
+    """If the daemon dies with requests in flight, the client raises
+    NativeServerDied, marks the protocol desynced, and leaves no request
+    files behind."""
+    batches = [[np.full((4,), i, np.uint8)] for i in range(8)]
+    gen = fake_server.request_many(iter(batches), depth=4)
+    next(gen)  # several requests now in flight
+    fake_server._proc.kill()
+    fake_server._proc.wait()
+    with pytest.raises(pjrt.NativeServerDied):
+        list(gen)
+    assert fake_server._desync
+    with pytest.raises(pjrt.NativeServerDied):
+        fake_server.request([np.zeros((4,), np.uint8)])
+    leftovers = [f for f in os.listdir(fake_server.workdir)
+                 if f.startswith("req")]
+    assert leftovers == []
