@@ -97,23 +97,29 @@ def throughput_row(workdir: str, batch: int = 8, n: int = 21) -> dict:
     return row
 
 
-def daemon_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
-    """Round-3 daemon tier (pjrt_runner --serve): per-request latency
-    through a WARM compiled daemon, including the full request framing
-    (input file write -> stdin line -> stage+execute+readback in C++ ->
-    output file read). Distinct contents per request — the axon runtime
-    dedupes identical dispatches (CLAUDE.md), so same-clip requests would
-    measure the cache, not the chip."""
-    import time
-
+def _daemon_setup(workdir: str, batch: int, n: int, name: str):
+    """Shared prep for the daemon rows: export the bf16 module and draw
+    n+2 DISTINCT-content requests (the axon runtime dedupes identical
+    dispatches, CLAUDE.md — same-clip requests would measure the cache)."""
     cfg = _cfg("bfloat16")
     _, variables = _variables(cfg)
-    mod = os.path.join(workdir, "serve_daemon.stablehlo")
+    mod = os.path.join(workdir, f"{name}.stablehlo")
     export_serving_stablehlo(cfg, variables, clip_batch=batch, path=mod,
                              platforms=("tpu",))
     rng = np.random.default_rng(2)
     reqs = [rng.integers(0, 255, (batch, 16, 128, 171, 3)).astype(np.uint8)
             for _ in range(n + 2)]
+    return mod, reqs
+
+
+def daemon_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
+    """Round-3 daemon tier (pjrt_runner --serve): per-request latency
+    through a WARM compiled daemon, including the full request framing
+    (input file write -> stdin line -> stage+execute+readback in C++ ->
+    output file read)."""
+    import time
+
+    mod, reqs = _daemon_setup(workdir, batch, n, "serve_daemon")
     with pjrt.NativeServer(mod, [((batch, 16, 128, 171, 3), np.uint8)],
                            os.path.join(workdir, "daemon")) as srv:
         for clips in reqs[:2]:  # warmup (layout/cache effects)
@@ -150,18 +156,12 @@ def daemon_pipelined_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
     sequential daemon's on the same inputs."""
     import time
 
-    cfg = _cfg("bfloat16")
-    _, variables = _variables(cfg)
-    mod = os.path.join(workdir, "serve_daemon_p.stablehlo")
-    export_serving_stablehlo(cfg, variables, clip_batch=batch, path=mod,
-                             platforms=("tpu",))
-    rng = np.random.default_rng(2)
-    reqs = [rng.integers(0, 255, (batch, 16, 128, 171, 3)).astype(np.uint8)
-            for _ in range(n + 2)]
+    mod, reqs = _daemon_setup(workdir, batch, n, "serve_daemon_p")
     with pjrt.NativeServer(mod, [((batch, 16, 128, 171, 3), np.uint8)],
                            os.path.join(workdir, "daemon_p"),
                            pipeline=2) as srv:
-        seq = [srv.request([clips])[0] for clips in reqs[:2]]  # warm + ref
+        for clips in reqs[:2]:  # warmup (layout/cache effects)
+            srv.request([clips])
         t0 = time.monotonic()
         outs = [o for o, in srv.request_many([c] for c in reqs[2:])]
         sec = (time.monotonic() - t0) / n
@@ -169,7 +169,6 @@ def daemon_pipelined_row(workdir: str, batch: int = 8, n: int = 12) -> dict:
         re_seq = [srv.request([clips])[0] for clips in reqs[2:4]]
     for a, b in zip(outs[:2], re_seq):
         np.testing.assert_array_equal(a, b)
-    del seq
     row = {"model": "r2plus1d_18", "compute_dtype": "bfloat16",
            "clip_batch": batch, "requests": n, "pipeline": 2,
            "sec_per_request": round(sec, 6),

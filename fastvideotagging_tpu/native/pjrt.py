@@ -336,6 +336,7 @@ class NativeServer:
         except (BrokenPipeError, OSError):
             for p in paths:
                 os.unlink(p)
+            self._desync = True  # dead server: unusable either way
             raise NativeServerDied(
                 "native server exited:\n" + "".join(self._stderr))
         return rid, paths
@@ -349,6 +350,7 @@ class NativeServer:
                 if os.path.exists(p):
                     os.unlink(p)
         if not line:
+            self._desync = True  # dead server: unusable either way
             raise NativeServerDied(
                 "native server exited:\n" + "".join(self._stderr))
         reply = json.loads(line)

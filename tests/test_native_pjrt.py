@@ -234,16 +234,45 @@ for line in sys.stdin:
 '''
 
 
-@pytest.fixture
-def fake_server(tmp_path, monkeypatch):
+def _install_fake_runner(tmp_path, monkeypatch, script) -> None:
+    """Point build_runner at a shell wrapper around a fake-daemon script."""
     import sys
 
     fake = tmp_path / "fake_daemon.py"
-    fake.write_text(_FAKE_DAEMON)
+    fake.write_text(script)
     wrapper = tmp_path / "fake_runner"
     wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
     wrapper.chmod(0o755)
     monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+
+
+_SCORER_SAMPLER = {"clip_len": 4, "stride": 2, "eval_mode": "dense",
+                   "num_eval_clips": 10}
+
+
+def _write_scorer_artifacts(tmp_path) -> str:
+    """An export-CLI-shaped artifact dir matching _FAKE_SCORER's contract."""
+    art = tmp_path / "art"
+    art.mkdir()
+    (art / "meta.json").write_text(json.dumps({
+        "model": "fake", "num_classes": 3, "int8": False,
+        "input": {"shape": [2, 4, 40, 56, 3]}, "sampler": _SCORER_SAMPLER,
+        "tag_names": ["a", "b", "c"]}))
+    (art / "serving.stablehlo").write_text("module {}")
+    return str(art)
+
+
+def _scorer_math(clips_u8, nclips):
+    """_FAKE_SCORER's scoring function, in-process (the parity reference)."""
+    flat = clips_u8.reshape(clips_u8.shape[0], -1)
+    out = np.stack([flat.mean(1) / 255.0, flat.min(1) / 255.0,
+                    flat.max(1) / 255.0], 1).astype(np.float32)
+    return out[:nclips]
+
+
+@pytest.fixture
+def fake_server(tmp_path, monkeypatch):
+    _install_fake_runner(tmp_path, monkeypatch, _FAKE_DAEMON)
     server = pjrt.NativeServer(
         "unused.mlir", [((4,), np.uint8)], str(tmp_path / "wd"),
         plugin="fake.so", client_options={}, pipeline=2)
@@ -316,19 +345,13 @@ def test_reply_id_mismatch_detected(fake_server):
 
 
 def test_pipeline_flag_reaches_command_line(tmp_path, monkeypatch):
-    import sys
-
-    fake = tmp_path / "argdump.py"
-    fake.write_text(
+    _install_fake_runner(
+        tmp_path, monkeypatch,
         "import json, sys\n"
         "open(sys.argv[sys.argv.index('--output') + 1] + '.args', 'w')"
         ".write(json.dumps(sys.argv[1:]))\n"
         "sys.stderr.write('ready\\n'); sys.stderr.flush()\n"
         "sys.stdin.read()\n")
-    wrapper = tmp_path / "runner"
-    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
-    wrapper.chmod(0o755)
-    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
     with pjrt.NativeServer("m.mlir", [((4,), np.uint8)],
                            str(tmp_path / "wd"), plugin="p.so",
                            client_options={}, pipeline=3) as s:
@@ -368,8 +391,6 @@ def test_pipelined_pack_scores_bit_match_sequential(tmp_path, monkeypatch,
     boundaries) must be BIT-identical to the sequential scores_from_frames
     aggregation — same chunks, same order, same f64 accumulation. A fake
     daemon computing a deterministic score lets this run hermetically."""
-    import sys
-
     from fastvideotagging_tpu.config import ClipSamplerConfig
     from fastvideotagging_tpu.data.packed import Pack, write_pack
     from fastvideotagging_tpu.data.ucf101 import load_video_list
@@ -381,37 +402,17 @@ def test_pipelined_pack_scores_bit_match_sequential(tmp_path, monkeypatch,
     records = load_video_list(list_path, root=root)
     pack_path = str(tmp_path / "lib.fvtpack")
     write_pack(records, pack_path, (40, 56), root=root)
-
-    art = tmp_path / "art"
-    art.mkdir()
-    sampler = {"clip_len": 4, "stride": 2, "eval_mode": "dense",
-               "num_eval_clips": 10}
-    (art / "meta.json").write_text(json.dumps({
-        "model": "fake", "num_classes": 3, "int8": False,
-        "input": {"shape": [2, 4, 40, 56, 3]}, "sampler": sampler,
-        "tag_names": ["a", "b", "c"]}))
-    (art / "serving.stablehlo").write_text("module {}")
-
-    fake = tmp_path / "fake_scorer.py"
-    fake.write_text(_FAKE_SCORER)
-    wrapper = tmp_path / "runner"
-    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
-    wrapper.chmod(0o755)
-    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
-
-    def score_u8(clips_u8, nclips):  # the fake daemon's math, in-process
-        flat = clips_u8.reshape(clips_u8.shape[0], -1)
-        out = np.stack([flat.mean(1) / 255.0, flat.min(1) / 255.0,
-                        flat.max(1) / 255.0], 1).astype(np.float32)
-        return out[:nclips]
+    art = _write_scorer_artifacts(tmp_path)
+    _install_fake_runner(tmp_path, monkeypatch, _FAKE_SCORER)
 
     pack = Pack(pack_path)
-    scfg = ClipSamplerConfig(**sampler)
+    scfg = ClipSamplerConfig(**_SCORER_SAMPLER)
     refs = {}
     for i, rec in enumerate(pack.records(root)):
         refs[rec.path] = scores_from_frames(
             lambda idx, _i=i: pack.gather(_i, idx),
-            pack.entries[i]["probe_frames"], scfg, (40, 56), 3, 2, score_u8)
+            pack.entries[i]["probe_frames"], scfg, (40, 56), 3, 2,
+            _scorer_math)
 
     with NativeTagger(str(art), workdir=str(tmp_path / "wd"),
                       plugin="fake.so", client_options={},
@@ -486,8 +487,6 @@ def test_cli_tag_native_engine_hermetic(tmp_path, monkeypatch, capsys,
                                         synthetic_dataset):
     """cli.tag --engine native end to end against the fake scoring daemon:
     argument wiring, pack bulk path, JSON output shape, engine cleanup."""
-    import sys
-
     from fastvideotagging_tpu.cli import tag as cli_tag
     from fastvideotagging_tpu.data.packed import write_pack
     from fastvideotagging_tpu.data.ucf101 import load_video_list
@@ -496,22 +495,8 @@ def test_cli_tag_native_engine_hermetic(tmp_path, monkeypatch, capsys,
     records = load_video_list(list_path, root=root)
     pack_path = str(tmp_path / "lib.fvtpack")
     write_pack(records, pack_path, (40, 56), root=root)
-
-    art = tmp_path / "art"
-    art.mkdir()
-    (art / "meta.json").write_text(json.dumps({
-        "model": "fake", "num_classes": 3, "int8": False,
-        "input": {"shape": [2, 4, 40, 56, 3]},
-        "sampler": {"clip_len": 4, "stride": 2, "eval_mode": "dense",
-                    "num_eval_clips": 10},
-        "tag_names": ["a", "b", "c"]}))
-    (art / "serving.stablehlo").write_text("module {}")
-    fake = tmp_path / "fake_scorer.py"
-    fake.write_text(_FAKE_SCORER)
-    wrapper = tmp_path / "runner"
-    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
-    wrapper.chmod(0o755)
-    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
+    art = _write_scorer_artifacts(tmp_path)
+    _install_fake_runner(tmp_path, monkeypatch, _FAKE_SCORER)
     monkeypatch.setattr(pjrt, "default_plugin", lambda: "fake.so")
     monkeypatch.setattr(pjrt, "plugin_client_options_for", lambda p: {})
 
@@ -538,8 +523,6 @@ def test_pipelined_streaming_video_scores_bit_match(tmp_path, monkeypatch,
     """NativeTagger.video_scores with pipeline>0 (decode overlapping the
     daemon) must be bit-identical to the sequential streaming path — same
     one-pass reader, same chunks, same f64 accumulation."""
-    import sys
-
     from fastvideotagging_tpu.config import ClipSamplerConfig
     from fastvideotagging_tpu.data.ucf101 import load_video_list
     from fastvideotagging_tpu.evaluation.native_tagger import NativeTagger
@@ -547,36 +530,16 @@ def test_pipelined_streaming_video_scores_bit_match(tmp_path, monkeypatch,
 
     root, list_path = synthetic_dataset
     records = load_video_list(list_path, root=root)
+    art = _write_scorer_artifacts(tmp_path)
+    _install_fake_runner(tmp_path, monkeypatch, _FAKE_SCORER)
 
-    art = tmp_path / "art"
-    art.mkdir()
-    sampler = {"clip_len": 4, "stride": 2, "eval_mode": "dense",
-               "num_eval_clips": 10}
-    (art / "meta.json").write_text(json.dumps({
-        "model": "fake", "num_classes": 3, "int8": False,
-        "input": {"shape": [2, 4, 40, 56, 3]}, "sampler": sampler,
-        "tag_names": ["a", "b", "c"]}))
-    (art / "serving.stablehlo").write_text("module {}")
-    fake = tmp_path / "fake_scorer.py"
-    fake.write_text(_FAKE_SCORER)
-    wrapper = tmp_path / "runner"
-    wrapper.write_text(f"#!/bin/sh\nexec {sys.executable} {fake} \"$@\"\n")
-    wrapper.chmod(0o755)
-    monkeypatch.setattr(pjrt, "build_runner", lambda force=False: str(wrapper))
-
-    def score_u8(clips_u8, nclips):
-        flat = clips_u8.reshape(clips_u8.shape[0], -1)
-        out = np.stack([flat.mean(1) / 255.0, flat.min(1) / 255.0,
-                        flat.max(1) / 255.0], 1).astype(np.float32)
-        return out[:nclips]
-
-    scfg = ClipSamplerConfig(**sampler)
+    scfg = ClipSamplerConfig(**_SCORER_SAMPLER)
     with NativeTagger(str(art), workdir=str(tmp_path / "wd"),
                       plugin="fake.so", client_options={},
                       pipeline=2) as nt:
         for rec in records[:2]:
             ref = stream_video_scores(rec.path, scfg, (40, 56), 3, 2,
-                                      score_u8)
+                                      _scorer_math)
             got = nt.video_scores(rec.path)
             np.testing.assert_array_equal(got, ref)
 
