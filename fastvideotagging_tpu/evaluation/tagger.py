@@ -79,10 +79,22 @@ def scores_from_frames(read_frames, n_frames: int, sampler_cfg, ship_hw,
     """
     clip_idx = eval_clip_index(n_frames, sampler_cfg)
     total = np.zeros((num_classes,), np.float64)
+    # One-chunk lookahead: the previous chunk's readback (np.asarray blocks
+    # until the device finishes) is delayed until AFTER the next chunk has
+    # been decoded and dispatched, so host decode of chunk k+1 overlaps the
+    # device's execution of chunk k when score_u8 returns a (still in
+    # flight) device array — jax dispatch is async. Accumulation order is
+    # unchanged, so results stay bit-identical; engines that return numpy
+    # (the native daemon's synchronous request) are unaffected.
+    pending = None
     for clips_u8, nclips in iter_eval_chunks(read_frames, clip_idx, ship_hw,
                                              clip_batch):
         scores = score_u8(clips_u8, nclips)
-        total += np.asarray(scores).astype(np.float64).sum(axis=0)
+        if pending is not None:
+            total += np.asarray(pending).astype(np.float64).sum(axis=0)
+        pending = scores
+    if pending is not None:
+        total += np.asarray(pending).astype(np.float64).sum(axis=0)
     return (total / clip_idx.shape[0]).astype(np.float32)
 
 
@@ -202,8 +214,11 @@ class Tagger:
 
                 self._qpack = quantize_for(
                     self.cfg.model.name, self.variables, [clips])
-            return np.asarray(self._int8_apply(self._qpack, clips))[:nclips]
-        return np.asarray(self._apply(self.variables, clips))[:nclips]
+            # return the still-in-flight device array (sliced lazily):
+            # jax dispatch is async, so the caller's delayed np.asarray
+            # readback lets the NEXT chunk's decode overlap this forward
+            return self._int8_apply(self._qpack, clips)[:nclips]
+        return self._apply(self.variables, clips)[:nclips]
 
     def tag(self, video_path: str, threshold: float = 0.5,
             top_k: int | None = None) -> list[TagResult]:
