@@ -94,21 +94,31 @@ def evaluate_video_scores(
     ``mesh``: evaluate data-parallel across it (clip chunks sharded over
     the data axis; see tests/test_distributed.py for the 8-device ==
     1-device equality)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d = cfg.data
     apply = apply_fn or _make_apply(model, cfg.model.multilabel)
     sharding = _eval_sharding(mesh, clip_batch)
     all_scores = []
-    for i in range(len(dataset)):
-        clips_u8, _rec = dataset.get_eval_clips(i)
-        clips = preprocess_eval_clip(
-            clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
-            out_dtype_name=cfg.model.compute_dtype,
-        )
-        scores = _forward_scores(apply, variables, clips, clip_batch,
-                                 sharding=sharding)
-        # Aggregation spec: f32 sum in clip order, divided by clip count.
-        video = scores.astype(np.float32).sum(axis=0) / scores.shape[0]
-        all_scores.append(video)
+    # One-video decode lookahead: video i+1 decodes on a worker thread
+    # (cv2 releases the GIL) while video i's clips forward on the device.
+    # Videos are still processed strictly in order, so the aggregation
+    # spec (f32 sum in clip order) is untouched.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(dataset.get_eval_clips, 0) if len(dataset) else None
+        for i in range(len(dataset)):
+            clips_u8, _rec = pending.result()
+            pending = (pool.submit(dataset.get_eval_clips, i + 1)
+                       if i + 1 < len(dataset) else None)
+            clips = preprocess_eval_clip(
+                clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
+                out_dtype_name=cfg.model.compute_dtype,
+            )
+            scores = _forward_scores(apply, variables, clips, clip_batch,
+                                     sharding=sharding)
+            # Aggregation spec: f32 sum in clip order, divided by clip count.
+            video = scores.astype(np.float32).sum(axis=0) / scores.shape[0]
+            all_scores.append(video)
     return np.stack(all_scores), dataset.records
 
 
