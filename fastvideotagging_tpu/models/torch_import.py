@@ -6,6 +6,8 @@ Covered layouts (round 3 — VERDICT r2 item 7):
 * R(2+1)D-18/34 — torchvision ``VideoResNet`` state_dicts (stem
   1x7x7->45->3x1x1->64, BasicBlock stages; the layout documented in
   torchvision.models.video.resnet);
+* VideoResNet r3d_18 / mc3_18 — same torchvision family, plain-Conv3d
+  blocks (``convN.0`` conv + ``convN.1`` BN) -> models/videoresnet.py.
 * C3D — the classic Sports-1M-conversion layout (biased conv1..conv5b +
   fc6/fc7/fc8), incl. the channel-first->channels-last fc6 permutation;
 * P3D-63/131/199 — the canonical public P3D PyTorch bottleneck schema
@@ -215,6 +217,41 @@ def convert_p3d_state_dict(
     return {"params": params, "batch_stats": stats}
 
 
+def convert_videoresnet_state_dict(
+    state_dict: Mapping[str, object],
+    stage_blocks: Sequence[int] = (2, 2, 2, 2),
+) -> dict:
+    """torchvision VideoResNet r3d_18/mc3_18 state_dict -> flax variables
+    (models/videoresnet.py). Unlike the R(2+1)D variant, conv1/conv2 are
+    plain Conv3d modules (``convN.0`` conv + ``convN.1`` BN) — the same
+    mapping covers both r3d (3x3x3) and mc3 (1x3x3 in stages 2-4): the
+    conv type only changes kernel SHAPES, which the caller's structure
+    check pins."""
+    sd = _StateDict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    _set(params, ("stem_conv", "kernel"), _conv(sd, "stem.0"))
+    _bn(sd, "stem.1", params, stats, ("stem_bn",))
+
+    for stage, num_blocks in enumerate(stage_blocks):
+        for block in range(num_blocks):
+            t = f"layer{stage + 1}.{block}"
+            f = f"stage{stage + 1}_block{block}"
+            for conv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+                _set(params, (f, conv, "kernel"), _conv(sd, f"{t}.{conv}.0"))
+                _bn(sd, f"{t}.{conv}.1", params, stats, (f, bn))
+            if f"{t}.downsample.0.weight" in sd.sd:
+                _set(params, (f, "downsample", "kernel"),
+                     _conv(sd, f"{t}.downsample.0"))
+                _bn(sd, f"{t}.downsample.1", params, stats, (f, "bn_down"))
+
+    _set(params, ("fc", "kernel"), sd.take("fc.weight").T)
+    _set(params, ("fc", "bias"), sd.take("fc.bias"))
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
 _CONVERTERS = {
     "r2plus1d_18": lambda sd: convert_r2plus1d_state_dict(sd, (2, 2, 2, 2)),
     "r2plus1d_34": lambda sd: convert_r2plus1d_state_dict(sd, (3, 4, 6, 3)),
@@ -222,6 +259,8 @@ _CONVERTERS = {
     "p3d_63": lambda sd: convert_p3d_state_dict(sd, (3, 4, 6, 3)),
     "p3d_131": lambda sd: convert_p3d_state_dict(sd, (3, 4, 23, 3)),
     "p3d_199": lambda sd: convert_p3d_state_dict(sd, (3, 8, 36, 3)),
+    "r3d_18": lambda sd: convert_videoresnet_state_dict(sd, (2, 2, 2, 2)),
+    "mc3_18": lambda sd: convert_videoresnet_state_dict(sd, (2, 2, 2, 2)),
 }
 
 

@@ -232,6 +232,28 @@ def _p3d_199(num_classes: int, **kw) -> nn.Module:
     return P3D(stage_blocks=(3, 8, 36, 3), num_classes=num_classes, **kw)
 
 
+@register("r3d_18")
+def _r3d_18(num_classes: int, **kw) -> nn.Module:
+    """Full-3D VideoResNet (Tran'18 ablation sibling of R(2+1)D)."""
+    from fastvideotagging_tpu.models.videoresnet import VideoResNet3D
+
+    kw.pop("backend", None)  # full 3x3x3 convs; no factorized kernels
+    return VideoResNet3D(stage_blocks=(2, 2, 2, 2),
+                         stage_conv_types=("3d",) * 4,
+                         num_classes=num_classes, **kw)
+
+
+@register("mc3_18")
+def _mc3_18(num_classes: int, **kw) -> nn.Module:
+    """Mixed-conv VideoResNet: 3D stage 1, 1x3x3 stages 2-4 (Tran'18 MC3)."""
+    from fastvideotagging_tpu.models.videoresnet import VideoResNet3D
+
+    kw.pop("backend", None)
+    return VideoResNet3D(stage_blocks=(2, 2, 2, 2),
+                         stage_conv_types=("3d", "no_t", "no_t", "no_t"),
+                         num_classes=num_classes, **kw)
+
+
 @register("slowfast_r2plus1d")
 def _slowfast(num_classes: int, **kw) -> nn.Module:
     """Dual-pathway stretch config [B:11]; kwargs: alpha, beta, shard_axis."""

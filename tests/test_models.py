@@ -184,3 +184,31 @@ class TestP3D:
         for key in params:
             if "block" in key:
                 assert "spatial" in params[key] and "temporal" in params[key]
+
+
+class TestVideoResNet3D:
+    """r3d_18 / mc3_18 (Tran'18 ablation siblings; torchvision layout)."""
+
+    def test_r3d18_shapes_and_params(self):
+        model = get_model("r3d_18", num_classes=400)
+        variables = _init_shapes(model, (1, 4, 32, 32, 3))
+        logits = _apply_shape(model, variables, (2, 4, 32, 32, 3))
+        assert logits.shape == (2, 400)
+        # torchvision r3d_18 @ 400 classes: 33,371,472 params
+        assert _param_count(variables) == 33_371_472
+
+    def test_mc3_18_shapes_and_params(self):
+        model = get_model("mc3_18", num_classes=400)
+        variables = _init_shapes(model, (1, 4, 32, 32, 3))
+        logits = _apply_shape(model, variables, (2, 4, 32, 32, 3))
+        assert logits.shape == (2, 400)
+        # torchvision mc3_18 @ 400 classes: 11,695,440 params
+        assert _param_count(variables) == 11_695_440
+
+    def test_mc3_preserves_time_after_stage1(self):
+        # MC3's stages 2-4 are 1x3x3 with stride (1,s,s): the temporal
+        # extent survives to the pool (only spatial downsampling)
+        model = get_model("mc3_18", num_classes=5)
+        variables = _init_shapes(model, (1, 8, 32, 32, 3))
+        logits = _apply_shape(model, variables, (1, 8, 32, 32, 3))
+        assert logits.shape == (1, 5)

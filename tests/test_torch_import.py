@@ -376,3 +376,115 @@ def test_p3d_load_pretrained_from_pth(tmp_path):
                       .permute(2, 3, 4, 1, 0).numpy())
     got = np.asarray(variables["params"]["stem_conv"]["kernel"])
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# VideoResNet r3d_18 / mc3_18 (the Tran'18 ablation siblings; torchvision
+# layout: plain Conv3d blocks, convN.0 conv + convN.1 BN).
+
+
+class TorchConv3DSimple(nn.Conv3d):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__(cin, cout, (3, 3, 3), stride=(stride,) * 3,
+                         padding=1, bias=False)
+
+
+class TorchConv3DNoTemporal(nn.Conv3d):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__(cin, cout, (1, 3, 3), stride=(1, stride, stride),
+                         padding=(0, 1, 1), bias=False)
+
+
+class TorchBlock3D(nn.Module):
+    def __init__(self, cin, planes, conv_cls, stride=1):
+        super().__init__()
+        self.conv1 = nn.Sequential(conv_cls(cin, planes, stride),
+                                   nn.BatchNorm3d(planes),
+                                   nn.ReLU(inplace=True))
+        self.conv2 = nn.Sequential(conv_cls(planes, planes),
+                                   nn.BatchNorm3d(planes))
+        self.downsample = None
+        if stride != 1 or cin != planes:
+            ds = ((stride,) * 3 if conv_cls is TorchConv3DSimple
+                  else (1, stride, stride))
+            self.downsample = nn.Sequential(
+                nn.Conv3d(cin, planes, 1, stride=ds, bias=False),
+                nn.BatchNorm3d(planes))
+        self.relu = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        residual = self.downsample(x) if self.downsample is not None else x
+        return self.relu(self.conv2(self.conv1(x)) + residual)
+
+
+class TorchVideoResNet3D(nn.Module):
+    """The documented torchvision r3d_18 / mc3_18 layout."""
+
+    def __init__(self, conv_classes, stage_blocks=(2, 2, 2, 2),
+                 num_classes=7):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv3d(3, 64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
+                      bias=False),
+            nn.BatchNorm3d(64), nn.ReLU(inplace=True))
+        cin = 64
+        for stage, (blocks, conv_cls) in enumerate(
+                zip(stage_blocks, conv_classes)):
+            planes = 64 * 2 ** stage
+            layer = []
+            for b in range(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                layer.append(TorchBlock3D(cin, planes, conv_cls, stride))
+                cin = planes
+            setattr(self, f"layer{stage + 1}", nn.Sequential(*layer))
+        self.avgpool = nn.AdaptiveAvgPool3d(1)
+        self.fc = nn.Linear(cin, num_classes)
+
+    def forward(self, x):
+        x = self.stem(x)
+        for stage in range(1, 5):
+            x = getattr(self, f"layer{stage}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
+
+
+_VIDEORESNET_CONVS = {
+    "r3d_18": (TorchConv3DSimple,) * 4,
+    "mc3_18": (TorchConv3DSimple,) + (TorchConv3DNoTemporal,) * 3,
+}
+
+
+@pytest.mark.parametrize("name", ["r3d_18", "mc3_18"])
+def test_videoresnet_import_reproduces_torch_logits(name):
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_videoresnet_state_dict,
+    )
+
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        tm = TorchVideoResNet3D(_VIDEORESNET_CONVS[name], num_classes=7)
+        _randomize_bn_stats(tm, gen)
+        tm.eval()
+        xt = torch.randn((2, 3, 4, 32, 32), generator=gen)
+        torch_logits = tm(xt)
+
+    variables = convert_videoresnet_state_dict(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+    model = get_model(name, num_classes=7, dtype=jnp.float32, dropout=0.0)
+    # converted tree must match our init structure AND param count exactly
+    init = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+                           train=False))
+    assert (jax.tree_util.tree_structure(variables["params"])
+            == jax.tree_util.tree_structure(jax.tree.map(
+                lambda x: 0, init["params"])))
+    n_ours = sum(np.size(p) for p in jax.tree.leaves(variables["params"]))
+    n_torch = sum(p.numel() for p in tm.parameters())
+    assert n_ours == n_torch
+
+    x = jnp.asarray(xt.permute(0, 2, 3, 4, 1).numpy())  # NCTHW -> NTHWC
+    ours = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x))
+    np.testing.assert_allclose(ours, torch_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
