@@ -231,6 +231,37 @@ def c3d_spec() -> ArchSpec:
     return ArchSpec(nodes, "flatten", head)
 
 
+def videoresnet_spec(stage_conv_types: Tuple[str, ...] = ("3d",) * 4,
+                     stage_blocks: Tuple[int, ...] = (2, 2, 2, 2)) -> ArchSpec:
+    """r3d_18 / mc3_18 (models/videoresnet.py): plain-Conv3d BasicBlocks.
+
+    The conv type only changes kernel shapes (carried by the params) and
+    strides: '3d' downsamples (s,s,s), 'no_t' (1,s,s) — mirroring
+    Block3D's get_downsample_stride behavior."""
+    nodes = [
+        Conv("input", ("stem_conv", "kernel"), (1, 2, 2), bn=("stem_bn",)),
+    ]
+    for stage, (num_blocks, ctype) in enumerate(
+            zip(stage_blocks, stage_conv_types)):
+        for block in range(num_blocks):
+            s = 2 if (stage > 0 and block == 0) else 1
+            key = f"stage{stage + 1}_block{block}"
+            cstride = (s, s, s) if ctype == "3d" else (1, s, s)
+            main = (
+                Conv(f"{key}.in", (key, "conv1", "kernel"), cstride,
+                     bn=(key, "bn1")),
+                Conv(f"{key}.c1", (key, "conv2", "kernel"), (1, 1, 1),
+                     bn=(key, "bn2"), relu=False),
+            )
+            down = (Conv(f"{key}.in", (key, "downsample", "kernel"),
+                         cstride, bn=(key, "bn_down"), relu=False)
+                    if s != 1 else None)
+            nodes.append(Block(key, main, down))
+    tail = tuple(f"stage4_block{b}" for b in range(stage_blocks[3]))
+    return ArchSpec(tuple(nodes), "gap", (Dense(("fc",)),),
+                    default_float_blocks=tail)
+
+
 # zoo name -> spec builder (the serving-surface gate; replaces the round-2
 # STAGE_BLOCKS dict). `_tpu` variants share the faithful structure.
 _BUILDERS = {
@@ -242,6 +273,8 @@ _BUILDERS = {
     "p3d_131": lambda: p3d_spec((3, 4, 23, 3)),
     "p3d_199": lambda: p3d_spec((3, 8, 36, 3)),
     "c3d": c3d_spec,
+    "r3d_18": lambda: videoresnet_spec(("3d",) * 4),
+    "mc3_18": lambda: videoresnet_spec(("3d", "no_t", "no_t", "no_t")),
 }
 
 # Every surface gating on engine coverage (Tagger, quantized glue, serving

@@ -32,6 +32,8 @@ CASES = [
     ("r2plus1d_18_tpu", SHAPE, {}),
     ("p3d_63", SHAPE, {}),
     ("c3d", C3D_SHAPE, {"dropout": 0.0}),
+    ("r3d_18", SHAPE, {}),
+    ("mc3_18", SHAPE, {}),
 ]
 
 
