@@ -292,6 +292,17 @@ def main():
         lambda: bench_train_step(batch_size, norm="frozen")[0],
         -1.0, "frozen-BN train step")
 
+    # [B:11] SlowFast dual-pathway stretch config, single-chip train step at
+    # the UCF geometry (the channel-sharded multi-chip form is validated by
+    # the driver's dryrun_multichip; no second chip exists to measure it).
+    def _slowfast_row():
+        clips, _tf, _fl, sec, roof = bench_train_step(
+            batch_size, model_name="slowfast_r2plus1d")
+        return clips, (roof / sec if sec > 0 else -1.0)
+
+    sf_clips, sf_roof = _safe(_slowfast_row, (-1.0, -1.0),
+                              "slowfast train step")
+
     def _loader_row():
         from fastvideotagging_tpu.cli.bench_loader import measure
 
@@ -362,6 +373,8 @@ def main():
             "p3d63_kinetics_clips_per_sec": round(p3d_clips, 2),
             "p3d63_kinetics_roofline_fraction": round(p3d_roof, 4),
             "frozen_bn_clips_per_sec": round(frozen_clips, 2),
+            "slowfast_clips_per_sec": round(sf_clips, 2),
+            "slowfast_roofline_fraction": round(sf_roof, 4),
             "host_decode_clips_per_sec": round(loader_clips, 2),
             "packed_loader_clips_per_sec": round(packed_clips, 2),
             "e2e_fit_clips_per_sec": round(e2e_clips, 2),
