@@ -47,7 +47,12 @@ def main():
     p.add_argument("--classes", type=int, default=4)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the jax backend (in-process switch — env "
+                        "vars are rewritten by this image's sitecustomize)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     with tempfile.TemporaryDirectory() as root:
         print(f"generating synthetic dataset in {root} ...")

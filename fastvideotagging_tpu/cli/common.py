@@ -24,6 +24,15 @@ from fastvideotagging_tpu.config import (
 def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="named BASELINE config; flags override its fields")
+    # Backend selection must happen IN-PROCESS: on this image a baked
+    # sitecustomize re-exports JAX_PLATFORMS before user code runs, so the
+    # env-var route is dead (CLAUDE.md §pitfalls); jax.config.update before
+    # the first backend query is the only working switch.
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the jax backend (default: the environment's); "
+                        "cpu is useful for smoke runs and multi-host drills")
+    p.add_argument("--cpu-devices", type=int, default=None,
+                   help="with --platform cpu: number of virtual CPU devices")
     # model
     p.add_argument("--model", default=None, help="zoo name, e.g. r2plus1d_18")
     p.add_argument("--num-classes", type=int, default=None)
@@ -73,6 +82,47 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=None)
     p.add_argument("--metrics-jsonl", default=None)
+    # multi-host (SURVEY.md §6.8 DCN tier): run the SAME command on every
+    # host with its --process-id; jax.distributed joins them into one job
+    # and make_mesh spans all hosts' chips.
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host coordinator address (process 0's host); "
+                        "enables jax.distributed across hosts")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total number of host processes in the job")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's index in [0, num-processes)")
+
+
+def apply_platform(args: argparse.Namespace) -> None:
+    """Apply --platform/--cpu-devices. Call FIRST in every CLI main, before
+    anything that could initialize the jax backend."""
+    if getattr(args, "platform", None) is None:
+        if getattr(args, "cpu_devices", None):
+            raise SystemExit("--cpu-devices needs --platform cpu")
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", int(args.cpu_devices))
+    except RuntimeError as e:
+        raise SystemExit(
+            f"--platform {args.platform}: backend already initialized "
+            f"({e}); pass the flag to the entry CLI, not after jax use")
+
+
+def maybe_init_multihost(args: argparse.Namespace) -> None:
+    """Join the multi-host job when --coordinator is given. Must run before
+    any other jax use (the backend initializes once)."""
+    if getattr(args, "coordinator", None) is None:
+        return
+    if args.num_processes is None or args.process_id is None:
+        raise SystemExit("--coordinator needs --num-processes and --process-id")
+    from fastvideotagging_tpu.parallel.mesh import init_multihost
+
+    init_multihost(args.coordinator, args.num_processes, args.process_id)
 
 
 def _override(dc, **kw):

@@ -12,7 +12,9 @@ import json
 
 import jax
 
-from fastvideotagging_tpu.cli.common import add_common_flags, build_config
+from fastvideotagging_tpu.cli.common import (
+    add_common_flags, apply_platform, build_config,
+)
 from fastvideotagging_tpu.data import ucf101
 from fastvideotagging_tpu.data.packed import is_pack, open_dataset
 from fastvideotagging_tpu.data.pipeline import ClipDataset
@@ -36,6 +38,7 @@ def main(argv=None):
                         "the first --int8-calib-videos eval videos")
     p.add_argument("--int8-calib-videos", type=int, default=8)
     args = p.parse_args(argv)
+    apply_platform(args)
     cfg = build_config(args)
 
     num_tags = cfg.model.num_classes if cfg.model.multilabel else None

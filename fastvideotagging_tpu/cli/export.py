@@ -29,7 +29,9 @@ import os
 
 import numpy as np
 
-from fastvideotagging_tpu.cli.common import add_common_flags, build_config
+from fastvideotagging_tpu.cli.common import (
+    add_common_flags, apply_platform, build_config,
+)
 from fastvideotagging_tpu.config import ExperimentConfig
 from fastvideotagging_tpu.train.checkpoint import load_weights
 from fastvideotagging_tpu.utils.logging import get_logger
@@ -150,6 +152,7 @@ def export_artifacts(cfg: ExperimentConfig, variables: dict, out_dir: str,
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_platform(args)
     cfg = build_config(args)
 
     tag_names = None

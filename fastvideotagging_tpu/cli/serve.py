@@ -27,7 +27,9 @@ import argparse
 import json
 import sys
 
-from fastvideotagging_tpu.cli.common import add_common_flags, build_config
+from fastvideotagging_tpu.cli.common import (
+    add_common_flags, apply_platform, build_config,
+)
 from fastvideotagging_tpu.evaluation.tagger import Tagger
 from fastvideotagging_tpu.train.checkpoint import load_weights
 from fastvideotagging_tpu.utils.logging import get_logger
@@ -113,6 +115,7 @@ def serve(tagger: Tagger, requests, out, threshold: float = 0.5,
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_platform(args)
 
     tag_names = None
     if args.tag_names:

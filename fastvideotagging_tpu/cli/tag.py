@@ -18,7 +18,9 @@ import argparse
 import json
 import sys
 
-from fastvideotagging_tpu.cli.common import add_common_flags, build_config
+from fastvideotagging_tpu.cli.common import (
+    add_common_flags, apply_platform, build_config,
+)
 from fastvideotagging_tpu.data.packed import is_pack
 from fastvideotagging_tpu.evaluation.tagger import Tagger, iter_pack_tags
 from fastvideotagging_tpu.train.checkpoint import load_weights
@@ -52,6 +54,7 @@ def main(argv=None):
                         "in the daemon; bulk pack tagging keeps this many "
                         "chunks in flight (0 = strictly sequential)")
     args = p.parse_args(argv)
+    apply_platform(args)
     cfg = build_config(args)
 
     tag_names = None

@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import argparse
 
-from fastvideotagging_tpu.cli.common import add_common_flags, add_train_flags, build_config
+from fastvideotagging_tpu.cli.common import (
+    add_common_flags, add_train_flags, apply_platform, build_config,
+    maybe_init_multihost,
+)
 from fastvideotagging_tpu.data import ucf101
 from fastvideotagging_tpu.train.fit import fit
 
@@ -73,6 +76,8 @@ def load_records(cfg, args):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_platform(args)
+    maybe_init_multihost(args)
     cfg = build_config(args)
     train_records, val_records, num_tags = load_records(cfg, args)
     init_variables = None

@@ -228,12 +228,20 @@ def train_batches(
     epoch: int,
     num_workers: int = 8,
     drop_last: bool = True,
+    rows: list[int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Shuffled, worker-decoded training batches for one epoch.
 
     The shuffle permutation is seeded by (seed, epoch); decode runs in a
     thread pool with a bounded window so at most ~2 batches of futures are in
     flight (backpressure), and results are consumed in deterministic order.
+
+    ``rows`` (multi-host): positions within each GLOBAL batch this process
+    materializes (parallel.mesh.local_batch_rows). Every sample's content is
+    a pure function of (seed, epoch, dataset index), so decoding a subset on
+    each host reproduces exactly the rows of the single-host global batch;
+    yielded batches then have len(rows) samples, in global row order, ready
+    for mesh.global_batch_put.
     """
     order = np.random.Generator(
         np.random.Philox(key=np.uint64(dataset.seed), counter=[0, 0, 0, epoch])
@@ -244,6 +252,17 @@ def train_batches(
         # formed — yield nothing rather than decoding the whole set for free.
         return
     indices = order[:usable]
+    if rows is not None:
+        if not drop_last:
+            raise ValueError("rows= (multi-host loading) requires drop_last")
+        if not rows or any(r < 0 or r >= batch_size for r in rows):
+            raise ValueError(f"rows must be within [0, {batch_size}): {rows}")
+        sel = np.concatenate([
+            np.asarray(rows, np.int64) + b * batch_size
+            for b in range(usable // batch_size)
+        ])
+        indices = indices[sel]
+        batch_size = len(rows)
 
     with cf.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         window = max(2 * batch_size, num_workers * 2)
@@ -270,20 +289,34 @@ def train_batches(
             yield _collate(buf)
 
 
-def device_prefetch(batches: Iterator, sharding=None, depth: int = 2) -> Iterator:
+def device_prefetch(batches: Iterator, sharding=None, depth: int = 2,
+                    global_batch: int | None = None,
+                    rows: list[int] | None = None) -> Iterator:
     """Keep ``depth`` batches resident on-device ahead of the consumer.
 
     ``jax.device_put`` is async: the H2D DMA of batch k+1..k+depth overlaps
     the model step on batch k — the double-buffered HBM prefetch of [B:5].
+
+    Multi-host: with ``rows``/``global_batch`` set, each incoming batch holds
+    only this process's rows and is assembled into global arrays via
+    mesh.global_batch_put (the other hosts contribute theirs).
     """
     import collections
 
     queue = collections.deque()
 
-    def put(b):
-        if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), b)
-        return jax.tree.map(jax.device_put, b)
+    if rows is not None:
+        if sharding is None or global_batch is None:
+            raise ValueError("rows= needs sharding and global_batch")
+        from fastvideotagging_tpu.parallel.mesh import global_batch_put
+
+        def put(b):
+            return global_batch_put(b, sharding, global_batch, rows)
+    else:
+        def put(b):
+            if sharding is not None:
+                return jax.tree.map(lambda x: jax.device_put(x, sharding), b)
+            return jax.tree.map(jax.device_put, b)
 
     it = iter(batches)
     try:

@@ -26,13 +26,24 @@ from fastvideotagging_tpu.utils.logging import get_logger
 log = get_logger("fvt.eval")
 
 
-def _make_apply(model, multilabel):
+def _make_apply(model, multilabel, mesh=None):
     """Build the jitted scores fn ONCE per eval run — a fresh lambda per
-    video would miss jax's jit cache and retrace every call."""
+    video would miss jax's jit cache and retrace every call.
+
+    Multi-host (mesh spanning processes): scores are forced fully-replicated
+    so every host can read them back (np.asarray on a cross-process sharded
+    output is illegal); the all-gather is tiny — (clip_batch, C) f32.
+    """
+    kw = {}
+    if mesh is not None and jax.process_count() > 1:
+        from fastvideotagging_tpu.parallel.mesh import replicated
+
+        kw["out_shardings"] = replicated(mesh)
     return jax.jit(
         lambda v, x: heads.predict_scores(
             model.apply(v, x, train=False), multilabel
-        )
+        ),
+        **kw,
     )
 
 
@@ -97,7 +108,7 @@ def evaluate_video_scores(
     from concurrent.futures import ThreadPoolExecutor
 
     d = cfg.data
-    apply = apply_fn or _make_apply(model, cfg.model.multilabel)
+    apply = apply_fn or _make_apply(model, cfg.model.multilabel, mesh=mesh)
     sharding = _eval_sharding(mesh, clip_batch)
     all_scores = []
     # One-video decode lookahead: video i+1 decodes on a worker thread
@@ -149,7 +160,11 @@ def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
 
     ``val_records``: VideoRecords or a ``.fvtpack`` path (decode-once tier).
     ``mesh``: run the eval forward data-parallel over it (fit passes its
-    training mesh so the per-epoch eval uses every chip, not one).
+    training mesh so the per-epoch eval uses every chip, not one). With a
+    mesh spanning multiple hosts, every host decodes the full val list
+    (identical inputs feed the global device_put) and the forward shards
+    over ALL chips of the job — host decode is duplicated, device time is
+    not.
     """
     from fastvideotagging_tpu.data.packed import open_dataset
 
@@ -159,7 +174,7 @@ def make_eval_fn(cfg: ExperimentConfig, val_records, num_tags=None,
     # ONE jitted apply for the whole run — building it inside eval_fn would
     # hand evaluate() a fresh lambda per epoch, missing jax's jit cache and
     # recompiling the full backbone every epoch.
-    apply = _make_apply(model, cfg.model.multilabel)
+    apply = _make_apply(model, cfg.model.multilabel, mesh=mesh)
 
     def eval_fn(state, epoch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}

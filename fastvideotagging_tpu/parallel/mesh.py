@@ -71,6 +71,56 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def local_batch_rows(sharding: NamedSharding, batch_size: int) -> list[int]:
+    """Global batch-row positions this process owns under ``sharding``.
+
+    In a multi-controller run each process materializes ONLY the rows whose
+    shards live on its addressable devices (SURVEY.md §6.8: the loader is
+    per-host; the mesh is global). Single-process this is range(batch_size).
+    Rows are positions within ONE global batch — they are the same for every
+    batch because the sharding is fixed for the run.
+    """
+    rows: set[int] = set()
+    for idx in sharding.addressable_devices_indices_map((batch_size,)).values():
+        sl = idx[0]
+        start = 0 if sl.start is None else sl.start
+        stop = batch_size if sl.stop is None else sl.stop
+        rows.update(range(start, stop))
+    return sorted(rows)
+
+
+def global_batch_put(batch, sharding: NamedSharding, global_batch: int,
+                     rows: list[int]):
+    """Form global sharded arrays from process-local batch rows.
+
+    ``batch`` is a pytree whose leading dim holds exactly ``rows`` (sorted
+    global row positions); the other processes contribute their own rows.
+    Uses jax.make_array_from_callback so each addressable shard is sliced
+    from the local buffer — no cross-host data movement, the DCN carries
+    only collectives (gradients), never input data.
+    """
+    pos = {r: i for i, r in enumerate(rows)}
+
+    def put(x):
+        gshape = (global_batch,) + tuple(x.shape[1:])
+
+        def cb(index):
+            sl = index[0]
+            start = 0 if sl.start is None else sl.start
+            stop = global_batch if sl.stop is None else sl.stop
+            try:
+                sel = [pos[r] for r in range(start, stop)]
+            except KeyError as e:  # pragma: no cover - misuse guard
+                raise ValueError(
+                    f"shard rows [{start},{stop}) not local (have {rows}); "
+                    f"rows must come from local_batch_rows(sharding)") from e
+            return x[sel]
+
+        return jax.make_array_from_callback(gshape, sharding, cb)
+
+    return jax.tree.map(put, batch)
+
+
 def param_partition_specs(variables):
     """PartitionSpec tree from flax ``with_partitioning`` metadata (boxed
     variables as returned by model.init when modules set ``shard_axis``)."""

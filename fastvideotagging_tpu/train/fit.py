@@ -55,7 +55,8 @@ def fit(
         from fastvideotagging_tpu.evaluation.evaluate import make_eval_fn
 
         # per-epoch eval rides the SAME mesh as training (data-parallel
-        # clip chunks), not a single chip
+        # clip chunks), not a single chip; multi-host, every host decodes
+        # the val list and the forward spans all chips of the job
         eval_fn = make_eval_fn(cfg, val_records, num_tags=num_tags,
                                mesh=mesh)
     data_shards = mesh.shape[cfg.parallel.data_axis]
@@ -134,7 +135,20 @@ def fit(
 
     step_fn = make_train_step(model, cfg)
     data_sh = batch_sharding(mesh)
-    mlog = MetricsLogger(metrics_path)
+    # Multi-host: each process decodes only the global-batch rows its
+    # addressable devices own; global arrays are assembled per batch
+    # (mesh.global_batch_put via device_prefetch). Metrics are identical on
+    # every process (the step psums them), so only process 0 logs.
+    local_rows = None
+    if jax.process_count() > 1:
+        from fastvideotagging_tpu.parallel.mesh import local_batch_rows
+
+        local_rows = local_batch_rows(data_sh, t_cfg.batch_size)
+        log.info("multi-host: process %d/%d loads %d/%d rows per batch",
+                 jax.process_index(), jax.process_count(), len(local_rows),
+                 t_cfg.batch_size)
+    mlog = MetricsLogger(metrics_path,
+                         enabled=jax.process_index() == 0)
     global_step = int(state.step)
 
     from fastvideotagging_tpu.utils.interrupt import GracefulStopper
@@ -142,7 +156,8 @@ def fit(
     with GracefulStopper() as stopper:
         state, global_step = _epoch_loop(
             cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
-            global_step, start_epoch, eval_fn, stopper)
+            global_step, start_epoch, eval_fn, stopper,
+            local_rows=local_rows)
     ckpt.wait()
     mlog.close()
     return state
@@ -181,7 +196,8 @@ def _apply_pretrained(state: TrainState, variables: dict) -> TrainState:
 
 
 def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
-                global_step, start_epoch, eval_fn, stopper):
+                global_step, start_epoch, eval_fn, stopper,
+                local_rows=None):
     t_cfg, d_cfg = cfg.train, cfg.data
     for epoch in range(start_epoch, t_cfg.num_epochs):
         loss_avg, top1_avg = RunningMean(), RunningMean()
@@ -190,8 +206,10 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
         tic = time.time()
         batches = device_prefetch(
             train_batches(dataset, t_cfg.batch_size, epoch,
-                          num_workers=d_cfg.num_workers),
+                          num_workers=d_cfg.num_workers, rows=local_rows),
             sharding=data_sh, depth=d_cfg.prefetch_depth,
+            global_batch=t_cfg.batch_size if local_rows is not None else None,
+            rows=local_rows,
         )
         data_wait = 0.0  # host-blocked-on-loader time this logging window
         while True:

@@ -28,11 +28,17 @@ def get_logger(name: str = "fvt") -> logging.Logger:
 class MetricsLogger:
     """Writes metric dicts as JSONL and human-readable console lines."""
 
-    def __init__(self, jsonl_path: str | None = None, logger_name: str = "fvt"):
+    def __init__(self, jsonl_path: str | None = None, logger_name: str = "fvt",
+                 enabled: bool = True):
+        # enabled=False -> a no-op sink (multi-host: metrics are identical on
+        # every process, so only process 0 logs; fit passes the flag).
         self.logger = get_logger(logger_name)
-        self._file = open(jsonl_path, "a") if jsonl_path else None
+        self.enabled = enabled
+        self._file = open(jsonl_path, "a") if (jsonl_path and enabled) else None
 
     def log(self, step: int, **scalars) -> None:
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time(), **scalars}
         if self._file:
             self._file.write(json.dumps(rec) + "\n")

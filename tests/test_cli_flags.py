@@ -26,3 +26,23 @@ def test_no_resume_overrides():
     args = cli_train.parse_args(
         ["--preset", "r2plus1d18_ucf101", "--no-resume"])
     assert build_config(args).train.resume is False
+
+
+def test_multihost_flags_parse_and_validate():
+    import pytest
+
+    from fastvideotagging_tpu.cli.common import maybe_init_multihost
+
+    args = cli_train.parse_args(
+        ["--coordinator", "10.0.0.1:1234", "--num-processes", "4",
+         "--process-id", "2"])
+    assert args.coordinator == "10.0.0.1:1234"
+    assert (args.num_processes, args.process_id) == (4, 2)
+
+    # incomplete spec fails loudly before touching jax.distributed
+    bad = cli_train.parse_args(["--coordinator", "10.0.0.1:1234"])
+    with pytest.raises(SystemExit, match="--num-processes"):
+        maybe_init_multihost(bad)
+
+    # absent flags: a no-op (the single-host path must not require them)
+    maybe_init_multihost(cli_train.parse_args([]))

@@ -144,3 +144,46 @@ def test_dp_eval_falls_back_when_indivisible(synthetic_dataset, caplog):
     got, _ = evaluate_video_scores(model, variables, dataset, cfg,
                                    clip_batch=3, mesh=mesh)  # 3 % 8 != 0
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_local_batch_rows_and_global_put_match_device_put():
+    """Single-process: local_batch_rows covers every row and global_batch_put
+    builds arrays equal (values + sharding) to the plain shard_batch path —
+    the multi-host loader assembly degenerates to device_put correctly."""
+    from fastvideotagging_tpu.parallel.mesh import (
+        global_batch_put, local_batch_rows,
+    )
+
+    mesh = make_mesh(4, 2)
+    sh = batch_sharding(mesh)
+    rows = local_batch_rows(sh, 8)
+    assert rows == list(range(8))
+
+    batch = {
+        "frames": np.arange(8 * 6, dtype=np.uint8).reshape(8, 2, 3),
+        "labels": np.arange(8, dtype=np.int32),
+        "flips": np.asarray([i % 2 == 0 for i in range(8)]),
+    }
+    got = global_batch_put(batch, sh, 8, rows)
+    ref = shard_batch(mesh, batch)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+        assert got[k].sharding.is_equivalent_to(ref[k].sharding, got[k].ndim)
+
+
+def test_global_batch_put_row_mapping_per_shard():
+    """Row->shard mapping: every data shard of the assembled array holds the
+    global rows its mesh position owns (the invariant the per-host loaders
+    rely on when each host supplies a different row subset)."""
+    from fastvideotagging_tpu.parallel.mesh import global_batch_put
+
+    mesh = make_mesh(8, 1)
+    sh = batch_sharding(mesh)
+    rows = list(range(8))
+    # local buffer value == 10 * global row index
+    local = {"labels": (10 * np.arange(8)).astype(np.int32)}
+    got = global_batch_put(local, sh, 8, rows)["labels"]
+    for shard in got.addressable_shards:
+        row = shard.index[0].start or 0
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      [10 * row])

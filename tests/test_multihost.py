@@ -15,6 +15,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 _WORKER = r"""
@@ -224,3 +225,297 @@ def test_train_step_across_processes_matches_single_process():
         assert abs(got_loss - want_loss) < 1e-5, (got_loss, want_loss)
         # bf16 compute retiled across processes: small fp-order noise
         assert abs(got_sum - want_sum) / max(abs(want_sum), 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Full fit() across processes (round 3): the COMPLETE training orchestration
+# — per-host row-subset loading (pipeline.train_batches rows=), global batch
+# assembly (mesh.global_batch_put), jitted step, epoch loop, logging — on a
+# 2-process global mesh, final parameters equal to the single-process run.
+# ---------------------------------------------------------------------------
+
+_FIT_WORKER = r"""
+import sys
+mode, pack, port, pid = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4 if mode == "single" else 2)
+if mode == "multi":
+    from fastvideotagging_tpu.parallel.mesh import init_multihost
+    init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+
+import jax.numpy as jnp
+import numpy as np
+
+from fastvideotagging_tpu.config import (
+    ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+)
+from fastvideotagging_tpu.train.fit import fit
+
+cfg = ExperimentConfig(
+    model=ModelConfig(name="tiny3d", num_classes=3, compute_dtype="float32"),
+    data=DataConfig(resize_hw=(16, 16), crop_hw=(8, 8),
+                    sampler=ClipSamplerConfig(clip_len=4), num_workers=2),
+    train=TrainConfig(batch_size=4, num_epochs=2, base_lr=0.05,
+                      log_every=2, checkpoint_dir="", lr_steps=(1,)),
+)
+state = fit(cfg, pack)
+leaf = state.params["conv1"]["kernel"]
+checksum = float(jnp.sum(jnp.abs(leaf)))
+step = int(jax.device_get(state.step))
+print(f"RESULT loss={0.0:.10f} checksum={checksum:.10f} step={step}",
+      flush=True)
+if mode == "multi":
+    jax.distributed.shutdown()
+"""
+
+
+def _make_pack(tmp_path) -> str:
+    from fastvideotagging_tpu.data.packed import write_pack_from_arrays
+
+    rng = np.random.default_rng(5)
+
+    def items():
+        for v in range(16):
+            frames = rng.integers(0, 255, (8, 16, 16, 3)).astype(np.uint8)
+            yield f"v{v:02d}.mp4", v % 3, (), frames
+
+    out = str(tmp_path / "tiny.fvtpack")
+    write_pack_from_arrays(items(), out, resize_hw=(16, 16))
+    return out
+
+
+def test_fit_across_processes_matches_single_process(tmp_path):
+    """fit() on a 2-process global mesh: each process decodes only its rows
+    of every global batch; the final trained parameters match the
+    single-process run to fp noise, and both complete 2 epochs x 4 steps."""
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"cannot allocate a localhost port: {e}")
+    pack = _make_pack(tmp_path)
+
+    single = subprocess.run(
+        [sys.executable, "-c", _FIT_WORKER, "single", pack, "0", "0"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert single.returncode == 0, single.stdout + single.stderr
+    want = _parse_fit_result(single.stdout)
+    assert want["step"] == 8  # 16 videos / batch 4 x 2 epochs
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _FIT_WORKER, "multi", pack, str(port),
+             str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process fit timed out")
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"coordinator unavailable in this sandbox: {out[-300:]}")
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        got = _parse_fit_result(out)
+        assert got["step"] == want["step"]
+        rel = abs(got["checksum"] - want["checksum"]) / max(
+            abs(want["checksum"]), 1.0)
+        assert rel < 1e-4, (got["checksum"], want["checksum"])
+
+
+def _parse_fit_result(out: str) -> dict:
+    for line in out.splitlines():
+        if line.startswith("RESULT"):
+            kv = dict(p.split("=") for p in line.split()[1:])
+            return {"loss": float(kv["loss"]),
+                    "checksum": float(kv["checksum"]),
+                    "step": int(kv["step"])}
+    raise AssertionError(f"no RESULT line in:\n{out}")
+
+
+# ---------------------------------------------------------------------------
+# Multi-host evaluation: clip chunks shard over the cross-process global
+# mesh (scores forced replicated so every host reads them back); per-video
+# aggregated scores equal to the single-process run.
+# ---------------------------------------------------------------------------
+
+_EVAL_WORKER = r"""
+import sys
+mode, pack, port, pid = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4 if mode == "single" else 2)
+if mode == "multi":
+    from fastvideotagging_tpu.parallel.mesh import init_multihost
+    init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+import jax.numpy as jnp
+import numpy as np
+
+from fastvideotagging_tpu.config import (
+    ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig,
+)
+from fastvideotagging_tpu.data.packed import open_dataset
+from fastvideotagging_tpu.evaluation.evaluate import evaluate_video_scores
+from fastvideotagging_tpu.models import model_from_config
+from fastvideotagging_tpu.parallel.mesh import make_mesh
+
+cfg = ExperimentConfig(
+    model=ModelConfig(name="tiny3d", num_classes=3, compute_dtype="float32"),
+    data=DataConfig(resize_hw=(16, 16), crop_hw=(8, 8),
+                    sampler=ClipSamplerConfig(clip_len=4, eval_mode="uniform",
+                                              num_eval_clips=3)),
+)
+model = model_from_config(cfg.model)
+variables = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 4, 8, 8, 3), jnp.float32), train=False)
+dataset = open_dataset(pack, cfg.data, mode="eval")
+mesh = make_mesh()  # all 4 devices; multi: spans both processes
+scores, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                  clip_batch=4, mesh=mesh)
+checksum = float(np.abs(scores.astype(np.float64)).sum())
+print(f"RESULT loss=0.0 checksum={checksum:.10f} step={scores.shape[0]}",
+      flush=True)
+if mode == "multi":
+    jax.distributed.shutdown()
+"""
+
+
+def test_evaluate_across_processes_matches_single_process(tmp_path):
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"cannot allocate a localhost port: {e}")
+    pack = _make_pack(tmp_path)
+
+    single = subprocess.run(
+        [sys.executable, "-c", _EVAL_WORKER, "single", pack, "0", "0"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert single.returncode == 0, single.stdout + single.stderr
+    want = _parse_fit_result(single.stdout)
+    assert want["step"] == 16  # one score row per pack video
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _EVAL_WORKER, "multi", pack, str(port),
+             str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process evaluate timed out")
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"coordinator unavailable in this sandbox: {out[-300:]}")
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        got = _parse_fit_result(out)
+        assert got["step"] == want["step"]
+        rel = abs(got["checksum"] - want["checksum"]) / max(
+            abs(want["checksum"]), 1.0)
+        assert rel < 1e-5, (got["checksum"], want["checksum"])
+
+
+# ---------------------------------------------------------------------------
+# Multi-host checkpoint/resume: all processes call orbax save on the shared
+# directory (its multiprocess barriers align), DP state is replicated so the
+# device_get payload is identical; resume restores the exact step/epoch.
+# ---------------------------------------------------------------------------
+
+_CKPT_WORKER = r"""
+import sys
+pack, ckdir, port, pid = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from fastvideotagging_tpu.parallel.mesh import init_multihost
+init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+import jax.numpy as jnp
+
+from fastvideotagging_tpu.config import (
+    ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+)
+from fastvideotagging_tpu.train.fit import fit
+
+def cfg_for(epochs, resume):
+    return ExperimentConfig(
+        model=ModelConfig(name="tiny3d", num_classes=3,
+                          compute_dtype="float32"),
+        data=DataConfig(resize_hw=(16, 16), crop_hw=(8, 8),
+                        sampler=ClipSamplerConfig(clip_len=4), num_workers=2),
+        train=TrainConfig(batch_size=4, num_epochs=epochs, base_lr=0.05,
+                          log_every=2, checkpoint_dir=ckdir, lr_steps=(1,),
+                          resume=resume),
+    )
+
+state = fit(cfg_for(1, False), pack)           # epoch 0, saves at step 4
+assert int(jax.device_get(state.step)) == 4
+state = fit(cfg_for(2, True), pack)            # resumes, runs epoch 1 only
+step = int(jax.device_get(state.step))
+leaf = state.params["conv1"]["kernel"]
+checksum = float(jnp.sum(jnp.abs(leaf)))
+print(f"RESULT loss=0.0 checksum={checksum:.10f} step={step}", flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_checkpoint_resume_across_processes(tmp_path):
+    """fit -> orbax save -> resumed fit on a 2-process mesh completes and
+    both processes agree on the final step and parameter checksum."""
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"cannot allocate a localhost port: {e}")
+    pack = _make_pack(tmp_path)
+    ckdir = str(tmp_path / "ck")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CKPT_WORKER, pack, ckdir, str(port),
+             str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process checkpoint/resume timed out")
+
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"coordinator unavailable in this sandbox: {out[-300:]}")
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert "resumed from step 4" in out
+        results.append(_parse_fit_result(out))
+    assert results[0]["step"] == results[1]["step"] == 8
+    assert results[0]["checksum"] == results[1]["checksum"]

@@ -124,6 +124,24 @@ class TestTrainBatches:
                                      num_workers=2, drop_last=True))
         assert batches == []
 
+    def test_rows_subset_matches_full_batch(self, dataset):
+        """Multi-host loading: rows=[1,3] yields exactly rows 1 and 3 of the
+        global batches (sample content is a pure function of (seed, epoch,
+        index), so per-host subset decode reproduces the single-host rows)."""
+        full = list(train_batches(dataset, 2, epoch=2, num_workers=2))
+        sub = list(train_batches(dataset, 2, epoch=2, num_workers=2, rows=[1]))
+        assert len(sub) == len(full) == 3
+        for f, s in zip(full, sub):
+            assert s["frames"].shape[0] == 1
+            for k in f:
+                np.testing.assert_array_equal(f[k][[1]], s[k])
+
+    def test_rows_validation(self, dataset):
+        with pytest.raises(ValueError, match="rows must be within"):
+            list(train_batches(dataset, 2, epoch=0, rows=[2]))
+        with pytest.raises(ValueError, match="drop_last"):
+            list(train_batches(dataset, 2, epoch=0, drop_last=False, rows=[0]))
+
 
 class TestDevicePrefetch:
     def test_order_and_count(self):
