@@ -519,3 +519,147 @@ def test_checkpoint_resume_across_processes(tmp_path):
         results.append(_parse_fit_result(out))
     assert results[0]["step"] == results[1]["step"] == 8
     assert results[0]["checksum"] == results[1]["checksum"]
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism ACROSS the process boundary: a (data=2, model=2) mesh
+# laid out so the MODEL axis spans the two processes — the channel-sharded
+# conv all-gathers ride the DCN path. One real train step, loss and updated
+# params equal to the same-mesh single-process run.
+# ---------------------------------------------------------------------------
+
+_TP_WORKER = r"""
+import sys
+mode, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4 if mode == "single" else 2)
+if mode == "multi":
+    from fastvideotagging_tpu.parallel.mesh import init_multihost
+    init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastvideotagging_tpu.config import (
+    ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+)
+from fastvideotagging_tpu.models import get_model
+from fastvideotagging_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, param_partition_specs,
+)
+from fastvideotagging_tpu.train import lr as lr_lib
+from fastvideotagging_tpu.train.loop import make_train_step
+from fastvideotagging_tpu.train.state import create_train_state
+
+# model axis spans processes: grid rows (data) = [d0, d2], [d1, d3] where
+# d0,d1 live on proc0 and d2,d3 on proc1 -> every channel all-gather
+# crosses the process boundary (DCN tier).
+grid = np.asarray(jax.devices()).reshape(2, 2).T
+mesh = Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+cfg = ExperimentConfig(
+    model=ModelConfig(name="slowfast_r2plus1d", num_classes=5,
+                      compute_dtype="float32"),
+    data=DataConfig(resize_hw=(16, 16), crop_hw=(16, 16),
+                    sampler=ClipSamplerConfig(clip_len=4)),
+    train=TrainConfig(batch_size=4),
+)
+model = get_model("slowfast_r2plus1d", num_classes=5, alpha=2, beta=8,
+                  base_width=16, stage_blocks=(1, 1), dropout=0.0,
+                  dtype=jnp.float32, shard_axis=MODEL_AXIS)
+tx = lr_lib.make_optimizer(cfg.train, steps_per_epoch=10)
+sample = jnp.zeros((1, 4, 16, 16, 3), jnp.float32)
+boxed = jax.eval_shape(
+    lambda: model.init(jax.random.PRNGKey(0), sample, train=False))
+specs = param_partition_specs(boxed)["params"]
+state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+state = jax.device_put(state, NamedSharding(mesh, P()))
+shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                         is_leaf=lambda x: isinstance(x, P))
+state = state.replace(
+    params=jax.tree.map(jax.device_put, state.params, shardings))
+assert MODEL_AXIS in str(state.params["slow_stem"]["kernel"].sharding.spec)
+
+def row(fn):
+    def cb(index):
+        return np.stack([fn(r) for r in
+                         range(index[0].start, index[0].stop)])
+    return cb
+
+b, t, h, w = 4, 4, 16, 16
+def mk(shape, dtype, fn):
+    return jax.make_array_from_callback(
+        shape,
+        NamedSharding(mesh, P(*([DATA_AXIS] + [None] * (len(shape) - 1)))),
+        row(fn))
+
+batch = {
+    "frames": mk((b, t, h, w, 3), np.uint8, lambda r: np.random.default_rng(
+        100 + r).integers(0, 255, (t, h, w, 3)).astype(np.uint8)),
+    "labels": mk((b,), np.int32, lambda r: np.int32(r % 5)),
+    "crop_tops": mk((b,), np.int32, lambda r: np.int32(0)),
+    "crop_lefts": mk((b,), np.int32, lambda r: np.int32(0)),
+    "flips": mk((b,), bool, lambda r: False),
+    "weights": mk((b,), np.float32, lambda r: np.float32(1.0)),
+}
+
+step = make_train_step(model, cfg, donate=False)
+new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+loss = float(metrics["loss"])
+kern = new_state.params["slow_stem"]["kernel"]
+assert MODEL_AXIS in str(kern.sharding.spec), kern.sharding
+# full-value checksum: sum over the channel-sharded kernel via jit (the
+# reduction itself runs the cross-process collective)
+checksum = float(jax.jit(
+    lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p)),
+    out_shardings=NamedSharding(mesh, P()))(new_state.params))
+print(f"RESULT loss={loss:.10f} checksum={checksum:.10f} step=1", flush=True)
+if mode == "multi":
+    jax.distributed.shutdown()
+"""
+
+
+def test_tp_step_across_processes_matches_single_process():
+    """Channel-sharded (TP) train step with the model axis spanning two
+    processes == the same step single-process, to fp noise."""
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"cannot allocate a localhost port: {e}")
+
+    single = subprocess.run(
+        [sys.executable, "-c", _TP_WORKER, "single", "0", "0"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert single.returncode == 0, single.stdout + single.stderr
+    want = _parse_fit_result(single.stdout)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TP_WORKER, "multi", str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process TP step timed out")
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"coordinator unavailable in this sandbox: {out[-300:]}")
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        got = _parse_fit_result(out)
+        assert abs(got["loss"] - want["loss"]) < 1e-5, (got, want)
+        rel = abs(got["checksum"] - want["checksum"]) / max(
+            abs(want["checksum"]), 1.0)
+        assert rel < 1e-4, (got["checksum"], want["checksum"])
