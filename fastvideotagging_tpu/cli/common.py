@@ -97,9 +97,10 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
 def apply_platform(args: argparse.Namespace) -> None:
     """Apply --platform/--cpu-devices. Call FIRST in every CLI main, before
     anything that could initialize the jax backend."""
+    if getattr(args, "cpu_devices", None) and \
+            getattr(args, "platform", None) != "cpu":
+        raise SystemExit("--cpu-devices needs --platform cpu")
     if getattr(args, "platform", None) is None:
-        if getattr(args, "cpu_devices", None):
-            raise SystemExit("--cpu-devices needs --platform cpu")
         return
     import jax
 

@@ -73,22 +73,35 @@ def _forward_scores(apply, variables, clips, clip_batch=8, sharding=None):
     return np.concatenate(out, axis=0)
 
 
-def _eval_sharding(mesh, clip_batch):
-    """Batch sharding for eval chunks, or None when a mesh is absent /
-    unusable (clip_batch not divisible by the data-axis size)."""
+def _eval_plan(mesh, clip_batch):
+    """-> (sharding | None, effective clip_batch).
+
+    Single-process, a clip_batch not divisible by the data-axis size falls
+    back to unsharded eval (warn).  Multi-host there is NO unsharded
+    fallback — the params live on the cross-process mesh, so a host-local
+    forward is impossible; instead the clip_batch is rounded UP to a
+    multiple of the shard count (chunks are padded to clip_batch anyway,
+    so scores are unchanged)."""
     if mesh is None:
-        return None
+        return None, clip_batch
     from fastvideotagging_tpu.parallel.mesh import DATA_AXIS, batch_sharding
 
     shards = mesh.shape[DATA_AXIS]
     if shards <= 1:
-        return None
+        return None, clip_batch
     if clip_batch % shards:
+        if jax.process_count() > 1:
+            rounded = ((clip_batch + shards - 1) // shards) * shards
+            log.warning(
+                "eval: clip_batch=%d not divisible by data shards %d; "
+                "padding chunks to %d (multi-host has no unsharded "
+                "fallback)", clip_batch, shards, rounded)
+            return batch_sharding(mesh), rounded
         log.warning(
             "eval: clip_batch=%d not divisible by data shards %d; "
             "evaluating unsharded", clip_batch, shards)
-        return None
-    return batch_sharding(mesh)
+        return None, clip_batch
+    return batch_sharding(mesh), clip_batch
 
 
 def evaluate_video_scores(
@@ -109,7 +122,7 @@ def evaluate_video_scores(
 
     d = cfg.data
     apply = apply_fn or _make_apply(model, cfg.model.multilabel, mesh=mesh)
-    sharding = _eval_sharding(mesh, clip_batch)
+    sharding, clip_batch = _eval_plan(mesh, clip_batch)
     all_scores = []
     # One-video decode lookahead: video i+1 decodes on a worker thread
     # (cv2 releases the GIL) while video i's clips forward on the device.

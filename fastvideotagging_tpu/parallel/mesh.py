@@ -71,6 +71,12 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _slice_bounds(sl: slice, size: int) -> tuple[int, int]:
+    """Normalize a shard-index slice (None endpoints = full extent)."""
+    return (0 if sl.start is None else sl.start,
+            size if sl.stop is None else sl.stop)
+
+
 def local_batch_rows(sharding: NamedSharding, batch_size: int) -> list[int]:
     """Global batch-row positions this process owns under ``sharding``.
 
@@ -82,10 +88,7 @@ def local_batch_rows(sharding: NamedSharding, batch_size: int) -> list[int]:
     """
     rows: set[int] = set()
     for idx in sharding.addressable_devices_indices_map((batch_size,)).values():
-        sl = idx[0]
-        start = 0 if sl.start is None else sl.start
-        stop = batch_size if sl.stop is None else sl.stop
-        rows.update(range(start, stop))
+        rows.update(range(*_slice_bounds(idx[0], batch_size)))
     return sorted(rows)
 
 
@@ -105,9 +108,7 @@ def global_batch_put(batch, sharding: NamedSharding, global_batch: int,
         gshape = (global_batch,) + tuple(x.shape[1:])
 
         def cb(index):
-            sl = index[0]
-            start = 0 if sl.start is None else sl.start
-            stop = global_batch if sl.stop is None else sl.stop
+            start, stop = _slice_bounds(index[0], global_batch)
             try:
                 sel = [pos[r] for r in range(start, stop)]
             except KeyError as e:  # pragma: no cover - misuse guard

@@ -59,7 +59,16 @@ class CheckpointManager:
         (NullCheckpointManager) runs.
         """
         epoch = int((extra or {}).get("epoch", 0))
-        payload = {"state": jax.device_get(state),
+        if jax.process_count() > 1:
+            # Multi-host: device_get is ILLEGAL for params sharded across
+            # processes (TP spanning hosts) and unnecessary anyway — orbax
+            # writes each shard from its owning host; restore rebuilds the
+            # global arrays from the shardings carried by the abstract tree
+            # (to_shape_dtype_struct keeps .sharding).
+            host_state = state
+        else:
+            host_state = jax.device_get(state)
+        payload = {"state": host_state,
                    "epoch": np.asarray(epoch, np.int64)}
         # Every call here is an intentional save; a SECOND save at the SAME
         # step must win (it happens when checkpoint_every_steps divides the

@@ -144,6 +144,13 @@ def fit(
         from fastvideotagging_tpu.parallel.mesh import local_batch_rows
 
         local_rows = local_batch_rows(data_sh, t_cfg.batch_size)
+        if not local_rows:
+            raise ValueError(
+                f"process {jax.process_index()}: none of this host's devices "
+                f"appear in the data sharding (mesh uses "
+                f"{mesh.devices.size}/{len(jax.devices())} devices) — every "
+                f"process must own at least one batch row; raise "
+                f"--data-parallel/--model-parallel to cover all hosts' chips")
         log.info("multi-host: process %d/%d loads %d/%d rows per batch",
                  jax.process_index(), jax.process_count(), len(local_rows),
                  t_cfg.batch_size)
@@ -199,6 +206,21 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                 global_step, start_epoch, eval_fn, stopper,
                 local_rows=None):
     t_cfg, d_cfg = cfg.train, cfg.data
+    nproc = jax.process_count()
+
+    def stop_requested():
+        # Multi-host, the stop decision must be COLLECTIVE: a signal lands on
+        # one process only; if it alone saved and returned, the others would
+        # enter the next step's collectives and the job would deadlock (the
+        # orbax save barrier on one side, the gradient psum on the other).
+        if nproc == 1:
+            return stopper.stop_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(stopper.stop_requested, np.int32))
+        return bool(np.max(flags) > 0)
+
     for epoch in range(start_epoch, t_cfg.num_epochs):
         loss_avg, top1_avg = RunningMean(), RunningMean()
         metrics = None  # this epoch's last step; None if the epoch is empty
@@ -218,7 +240,7 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
             if batch is None:
                 break
             data_wait += time.time() - t_wait
-            if stopper.stop_requested:
+            if stop_requested():
                 ckpt.save(global_step, state,
                           {"epoch": epoch - 1})
                 log.warning("stopping at step %d on request; checkpoint saved "

@@ -46,3 +46,15 @@ def test_multihost_flags_parse_and_validate():
 
     # absent flags: a no-op (the single-host path must not require them)
     maybe_init_multihost(cli_train.parse_args([]))
+
+
+def test_cpu_devices_requires_platform_cpu():
+    import pytest
+
+    from fastvideotagging_tpu.cli.common import apply_platform
+
+    with pytest.raises(SystemExit, match="--platform cpu"):
+        apply_platform(cli_train.parse_args(["--cpu-devices", "4"]))
+    with pytest.raises(SystemExit, match="--platform cpu"):
+        apply_platform(cli_train.parse_args(
+            ["--platform", "tpu", "--cpu-devices", "4"]))

@@ -663,3 +663,195 @@ def test_tp_step_across_processes_matches_single_process():
         rel = abs(got["checksum"] - want["checksum"]) / max(
             abs(want["checksum"]), 1.0)
         assert rel < 1e-4, (got["checksum"], want["checksum"])
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing a TP state whose shards span processes: save hands orbax the
+# global jax arrays (device_get is illegal here), restore rebuilds them from
+# the sharding-carrying abstract tree.
+# ---------------------------------------------------------------------------
+
+_TP_CKPT_WORKER = r"""
+import sys
+ckdir, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from fastvideotagging_tpu.parallel.mesh import init_multihost
+init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastvideotagging_tpu.config import TrainConfig
+from fastvideotagging_tpu.models import get_model
+from fastvideotagging_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, param_partition_specs,
+)
+from fastvideotagging_tpu.train import lr as lr_lib
+from fastvideotagging_tpu.train.checkpoint import CheckpointManager
+from fastvideotagging_tpu.train.state import create_train_state
+
+grid = np.asarray(jax.devices()).reshape(2, 2).T  # model axis spans procs
+mesh = Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+model = get_model("slowfast_r2plus1d", num_classes=5, alpha=2, beta=8,
+                  base_width=16, stage_blocks=(1, 1), dropout=0.0,
+                  dtype=jnp.float32, shard_axis=MODEL_AXIS)
+tx = lr_lib.make_optimizer(TrainConfig(batch_size=4), steps_per_epoch=10)
+sample = jnp.zeros((1, 4, 16, 16, 3), jnp.float32)
+boxed = jax.eval_shape(
+    lambda: model.init(jax.random.PRNGKey(0), sample, train=False))
+specs = param_partition_specs(boxed)["params"]
+state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+state = jax.device_put(state, NamedSharding(mesh, P()))
+shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                         is_leaf=lambda x: isinstance(x, P))
+state = state.replace(
+    params=jax.tree.map(jax.device_put, state.params, shardings))
+kern = state.params["slow_stem"]["kernel"]
+assert MODEL_AXIS in str(kern.sharding.spec)
+assert not kern.is_fully_addressable  # the shards really span processes
+
+def checksum(params):
+    return float(jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p)),
+        out_shardings=NamedSharding(mesh, P()))(params))
+
+want = checksum(state.params)
+ck = CheckpointManager(ckdir)
+ck.save(1, state, {"epoch": 3})
+ck.wait()
+restored, extra = ck.restore(state)
+assert extra["epoch"] == 3, extra
+rk = restored.params["slow_stem"]["kernel"]
+assert MODEL_AXIS in str(rk.sharding.spec), rk.sharding
+got = checksum(restored.params)
+assert got == want, (got, want)
+print(f"RESULT loss=0.0 checksum={got:.10f} step=1", flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_tp_checkpoint_roundtrip_across_processes(tmp_path):
+    """Save + restore of a channel-sharded TrainState whose model axis spans
+    two processes: bit-equal parameter checksum, sharding preserved."""
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"cannot allocate a localhost port: {e}")
+    ckdir = str(tmp_path / "tpck")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TP_CKPT_WORKER, ckdir, str(port),
+             str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process TP checkpoint timed out")
+
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"coordinator unavailable in this sandbox: {out[-300:]}")
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        results.append(_parse_fit_result(out))
+    assert results[0]["checksum"] == results[1]["checksum"]
+
+
+# ---------------------------------------------------------------------------
+# Graceful stop is COLLECTIVE: a SIGTERM on ONE process stops BOTH cleanly
+# (the non-signaled process learns via the per-step flag allgather; without
+# it, the signaled side's orbax barrier and the other side's psum deadlock).
+# ---------------------------------------------------------------------------
+
+_STOP_WORKER = r"""
+import sys
+pack, ckdir, port, pid = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from fastvideotagging_tpu.parallel.mesh import init_multihost
+init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+from fastvideotagging_tpu.config import (
+    ClipSamplerConfig, DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+)
+from fastvideotagging_tpu.train.fit import fit
+
+cfg = ExperimentConfig(
+    model=ModelConfig(name="tiny3d", num_classes=3, compute_dtype="float32"),
+    data=DataConfig(resize_hw=(16, 16), crop_hw=(8, 8),
+                    sampler=ClipSamplerConfig(clip_len=4), num_workers=2),
+    train=TrainConfig(batch_size=4, num_epochs=500, base_lr=0.05,
+                      log_every=1, checkpoint_dir=ckdir, lr_steps=(400,)),
+)
+state = fit(cfg, pack)
+step = int(jax.device_get(state.step))
+print(f"RESULT loss=0.0 checksum=0.0 step={step}", flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_graceful_stop_is_collective_across_processes(tmp_path):
+    import os
+    import signal
+    import time
+
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"cannot allocate a localhost port: {e}")
+    pack = _make_pack(tmp_path)
+    ckdir = str(tmp_path / "ck")
+
+    logs = [open(tmp_path / f"out{pid}.log", "w+") for pid in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _STOP_WORKER, pack, ckdir, str(port),
+             str(pid)],
+            stdout=logs[pid], stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    try:
+        # wait until proc0 has logged a training step, then signal ONLY proc0
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            logs[0].flush()
+            txt = open(logs[0].name).read()
+            if "UNAVAILABLE" in txt:
+                pytest.skip(f"coordinator unavailable: {txt[-300:]}")
+            if "samples_per_sec" in txt:
+                break
+            if procs[0].poll() is not None:
+                pytest.fail(f"proc0 exited early:\n{txt[-2000:]}")
+            time.sleep(1.0)
+        else:
+            pytest.fail("proc0 never reached a training step")
+        os.kill(procs[0].pid, signal.SIGTERM)
+        for p in procs:
+            p.communicate(timeout=180)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("collective graceful stop deadlocked")
+    outs = [open(lg.name).read() for lg in logs]
+    for lg in logs:
+        lg.close()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-2000:]}"
+        assert "RESULT" in out, f"proc{pid} did not finish fit:\n{out[-800:]}"
+        assert "stopping at step" in out  # both sides took the graceful path
