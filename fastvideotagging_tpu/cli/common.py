@@ -82,9 +82,13 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=None)
     p.add_argument("--metrics-jsonl", default=None)
+    add_multihost_flags(p)
+
+
+def add_multihost_flags(p: argparse.ArgumentParser) -> None:
     # multi-host (SURVEY.md §6.8 DCN tier): run the SAME command on every
     # host with its --process-id; jax.distributed joins them into one job
-    # and make_mesh spans all hosts' chips.
+    # and make_mesh spans all hosts' chips. Used by train and evaluate.
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host coordinator address (process 0's host); "
                         "enables jax.distributed across hosts")

@@ -13,7 +13,8 @@ import json
 import jax
 
 from fastvideotagging_tpu.cli.common import (
-    add_common_flags, apply_platform, build_config,
+    add_common_flags, add_multihost_flags, apply_platform, build_config,
+    maybe_init_multihost,
 )
 from fastvideotagging_tpu.data import ucf101
 from fastvideotagging_tpu.data.packed import is_pack, open_dataset
@@ -37,8 +38,10 @@ def main(argv=None):
                         "(ops/int8_infer; r2plus1d family), calibrated on "
                         "the first --int8-calib-videos eval videos")
     p.add_argument("--int8-calib-videos", type=int, default=8)
+    add_multihost_flags(p)
     args = p.parse_args(argv)
     apply_platform(args)
+    maybe_init_multihost(args)
     cfg = build_config(args)
 
     num_tags = cfg.model.num_classes if cfg.model.multilabel else None
@@ -97,6 +100,17 @@ def main(argv=None):
             "eval: config mesh unavailable on this host (%s); "
             "evaluating unsharded", e)
         mesh = None
+    if mesh is not None and jax.process_count() > 1:
+        # orbax restore commits the weights to one local device; the jitted
+        # eval runs on the cross-process mesh, so replicate them onto it
+        # (every process restored identical values)
+        from fastvideotagging_tpu.parallel.mesh import replicated
+
+        # via host numpy: device_put of a COMMITTED device array onto a
+        # cross-process sharding would attempt a cross-host transfer; host
+        # values take the every-process-provides-the-value path
+        variables = jax.device_put(jax.device_get(variables),
+                                   replicated(mesh))
     out = evaluate(model, variables, dataset, cfg, clip_batch=args.clip_batch,
                    threshold=args.threshold, apply_fn=apply_fn, mesh=mesh)
     print(json.dumps(out))

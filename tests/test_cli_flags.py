@@ -58,3 +58,13 @@ def test_cpu_devices_requires_platform_cpu():
     with pytest.raises(SystemExit, match="--platform cpu"):
         apply_platform(cli_train.parse_args(
             ["--platform", "tpu", "--cpu-devices", "4"]))
+
+
+def test_evaluate_cli_has_multihost_flags(capsys):
+    import pytest
+
+    from fastvideotagging_tpu.cli import evaluate as cli_evaluate
+
+    with pytest.raises(SystemExit):
+        cli_evaluate.main(["--help"])
+    assert "--coordinator" in capsys.readouterr().out
