@@ -28,9 +28,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     # sitecustomize re-exports JAX_PLATFORMS before user code runs, so the
     # env-var route is dead (CLAUDE.md §pitfalls); jax.config.update before
     # the first backend query is the only working switch.
-    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+    p.add_argument("--platform", choices=["cpu", "tpu", "axon"], default=None,
                    help="force the jax backend (default: the environment's); "
-                        "cpu is useful for smoke runs and multi-host drills")
+                        "cpu is useful for smoke runs and multi-host drills; "
+                        "'axon' is the dev image's TPU-tunnel backend (its "
+                        "default, so usually no flag is needed for the TPU)")
     p.add_argument("--cpu-devices", type=int, default=None,
                    help="with --platform cpu: number of virtual CPU devices")
     # model
@@ -116,6 +118,17 @@ def apply_platform(args: argparse.Namespace) -> None:
         raise SystemExit(
             f"--platform {args.platform}: backend already initialized "
             f"({e}); pass the flag to the entry CLI, not after jax use")
+    # A too-late jax_platforms update is silently IGNORED by jax (only the
+    # device-count update raises), so verify the switch actually took — a
+    # 'cpu smoke run' silently landing on the TPU tunnel would consume the
+    # single client slot. default_backend() initializes the (now correctly
+    # selected) backend, which the CLI was about to do anyway.
+    got = jax.default_backend()
+    if got != args.platform:
+        raise SystemExit(
+            f"--platform {args.platform}: jax already initialized the "
+            f"{got!r} backend before the flag applied; pass the flag to "
+            f"the entry CLI, not after jax use")
 
 
 def maybe_init_multihost(args: argparse.Namespace) -> None:

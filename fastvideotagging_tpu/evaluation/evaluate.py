@@ -123,6 +123,18 @@ def evaluate_video_scores(
     d = cfg.data
     apply = apply_fn or _make_apply(model, cfg.model.multilabel, mesh=mesh)
     sharding, clip_batch = _eval_plan(mesh, clip_batch)
+    if (apply_fn is not None and sharding is not None
+            and jax.process_count() > 1):
+        # Custom engines (e.g. the int8 apply_fn) are jitted without the
+        # replicated out_shardings _make_apply adds for multi-host; their
+        # data-sharded cross-process output cannot be read back — wrap once
+        # to force replication (nested jit inlines, one extra all-gather of
+        # the tiny score tensor).
+        from fastvideotagging_tpu.parallel.mesh import replicated
+
+        inner = apply_fn
+        apply = jax.jit(lambda v, x: inner(v, x),
+                        out_shardings=replicated(mesh))
     all_scores = []
     # One-video decode lookahead: video i+1 decodes on a worker thread
     # (cv2 releases the GIL) while video i's clips forward on the device.

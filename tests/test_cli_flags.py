@@ -68,3 +68,21 @@ def test_evaluate_cli_has_multihost_flags(capsys):
     with pytest.raises(SystemExit):
         cli_evaluate.main(["--help"])
     assert "--coordinator" in capsys.readouterr().out
+
+
+def test_platform_flag_late_application_fails_loudly():
+    """A jax_platforms update after backend init is silently ignored by jax;
+    apply_platform must detect the mismatch (here: conftest already
+    initialized the cpu backend) rather than run on the wrong backend."""
+    import jax
+    import pytest
+
+    from fastvideotagging_tpu.cli.common import apply_platform
+
+    # matching platform: fine even post-init
+    apply_platform(cli_train.parse_args(["--platform", "cpu"]))
+    try:
+        with pytest.raises(SystemExit, match="already initialized"):
+            apply_platform(cli_train.parse_args(["--platform", "axon"]))
+    finally:
+        jax.config.update("jax_platforms", "cpu")  # restore for later tests

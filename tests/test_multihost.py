@@ -385,6 +385,15 @@ mesh = make_mesh()  # all 4 devices; multi: spans both processes
 scores, _ = evaluate_video_scores(model, variables, dataset, cfg,
                                   clip_batch=4, mesh=mesh)
 checksum = float(np.abs(scores.astype(np.float64)).sum())
+# custom-engine path (the --int8 shape): an apply_fn jitted WITHOUT the
+# replicated out_shardings — evaluate must wrap it so the cross-process
+# sharded scores are readable (code-review finding r3d)
+from fastvideotagging_tpu.models import heads
+custom = jax.jit(lambda v, x: heads.predict_scores(
+    model.apply(v, x, train=False), False))
+scores2, _ = evaluate_video_scores(model, variables, dataset, cfg,
+                                   clip_batch=4, mesh=mesh, apply_fn=custom)
+assert float(np.abs(scores2.astype(np.float64)).sum()) == checksum
 print(f"RESULT loss=0.0 checksum={checksum:.10f} step={scores.shape[0]}",
       flush=True)
 if mode == "multi":
