@@ -66,33 +66,67 @@ def read_frames_at(path: str, indices: np.ndarray) -> np.ndarray:
     try:
         if not cap.isOpened():
             raise DecodeError(f"cannot open video: {path}")
+        # Corrupt-frame fill policy (shared with SequentialReader and
+        # iter_frame_chunks so the decode-once pack is bit-identical to
+        # streaming): an undecodable frame = the nearest PREVIOUSLY decoded
+        # frame; frames before the first decodable one = the FIRST decodable
+        # frame; indices past end-of-stream = the last decoded frame.
         wanted = {}
         pos = 0  # next frame number grab() will consume
         last_good = None
+        first_good = None
         max_idx = int(sorted_idx[-1])
         k = 0
         while pos <= max_idx and k < len(sorted_idx):
             ok = cap.grab()
             if not ok:
+                if k < len(sorted_idx):
+                    # stream shorter than the wanted indices (lying
+                    # container): the last successfully GRABBED frame is
+                    # still retrievable — use the stream's true last frame
+                    # as the past-end fill, matching SequentialReader and
+                    # the pack's clamp-to-last-stored semantics
+                    ok2, frame = cap.retrieve()
+                    if ok2 and frame is not None:
+                        last_good = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                        if first_good is None:
+                            first_good = last_good
                 break
             if pos == sorted_idx[k]:
                 ok, frame = cap.retrieve()
                 if ok and frame is not None:
                     rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                     last_good = rgb
+                    if first_good is None:
+                        first_good = rgb
                 else:
-                    rgb = last_good
+                    rgb = last_good  # None for leading-bad: backfilled below
                 while k < len(sorted_idx) and sorted_idx[k] == pos:
                     wanted[k] = rgb
                     k += 1
             pos += 1
         if last_good is None:
-            raise DecodeError(f"no decodable frames in: {path}")
-        # Fill any indices past the real end of stream with the last frame.
-        frames_sorted = [
-            wanted.get(i) if wanted.get(i) is not None else last_good
-            for i in range(len(sorted_idx))
-        ]
+            # The wanted indices all failed retrieve (or stream empty); a
+            # later frame may still decode — scan forward for the backfill
+            # source before declaring the video dead.
+            while first_good is None:
+                ok = cap.grab()
+                if not ok:
+                    break
+                ok, frame = cap.retrieve()
+                if ok and frame is not None:
+                    first_good = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if first_good is None:
+                raise DecodeError(f"no decodable frames in: {path}")
+            last_good = first_good
+        # Leading-bad indices (key present, value None) -> first decodable
+        # frame; past-end (key absent) -> last decoded frame.
+        frames_sorted = []
+        for i in range(len(sorted_idx)):
+            v = wanted.get(i, last_good)
+            if v is None:
+                v = first_good
+            frames_sorted.append(v)
         out = np.empty((len(indices),) + last_good.shape, dtype=np.uint8)
         for dst, src in enumerate(order):
             out[src] = frames_sorted[dst]
@@ -119,6 +153,7 @@ class SequentialReader:
         self._cap = None
         self._pos = 0
         self._last_good: np.ndarray | None = None
+        self._pending_leading: list[int] = []  # bad frames before 1st good
         self._open()
 
     def _open(self):
@@ -128,6 +163,7 @@ class SequentialReader:
         if not self._cap.isOpened():
             raise DecodeError(f"cannot open video: {self.path}")
         self._pos = 0
+        self._pending_leading = []
 
     def close(self):
         if self._cap is not None:
@@ -151,8 +187,15 @@ class SequentialReader:
             if ok and frame is not None:
                 rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                 self._last_good = rgb
+                # fill policy (see read_frames_at): frames before the first
+                # decodable one are served as the first decodable frame
+                for p in self._pending_leading:
+                    self._cache[p] = rgb
+                self._pending_leading = []
             else:
                 rgb = self._last_good
+                if rgb is None:
+                    self._pending_leading.append(self._pos)
             if rgb is not None:
                 self._cache[self._pos] = rgb
                 if len(self._cache) > self.cache_size:
@@ -181,7 +224,11 @@ class SequentialReader:
             raise DecodeError(f"no decodable frames in: {self.path}")
         out = np.empty((len(indices),) + self._last_good.shape, np.uint8)
         for i, f in enumerate(frames):
-            out[i] = f if f is not None else self._last_good
+            if f is None:
+                # a leading-bad index may have been backfilled into the
+                # cache by a later decode within this same read()
+                f = self._cache.get(int(indices[i]), self._last_good)
+            out[i] = f
         return out
 
 
@@ -199,16 +246,32 @@ def iter_frame_chunks(path: str, chunk_size: int = 256):
     try:
         if not cap.isOpened():
             raise DecodeError(f"cannot open video: {path}")
+        # Same corrupt-frame fill policy as read_frames_at/SequentialReader
+        # (grab ok + retrieve fail -> nearest previous good frame; before
+        # the first good frame -> the first good frame) so the decode-once
+        # pack stores exactly what the streaming readers would serve.
         buf: list[np.ndarray] = []
+        last_good: np.ndarray | None = None
+        pending_leading = 0
         while True:
-            ok, frame = cap.read()
-            if not ok or frame is None:
+            if not cap.grab():
                 break
-            buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-            if len(buf) == chunk_size:
+            ok, frame = cap.retrieve()
+            if ok and frame is not None:
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if last_good is None and pending_leading:
+                    buf.extend([rgb] * pending_leading)
+                    pending_leading = 0
+                last_good = rgb
+                buf.append(rgb)
+            elif last_good is not None:
+                buf.append(last_good)
+            else:
+                pending_leading += 1
+            while len(buf) >= chunk_size:
                 got_any = True
-                yield np.stack(buf)
-                buf = []
+                yield np.stack(buf[:chunk_size])
+                buf = buf[chunk_size:]
         if buf:
             got_any = True
             yield np.stack(buf)

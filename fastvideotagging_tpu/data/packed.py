@@ -119,6 +119,11 @@ def write_pack_from_arrays(items, out_path: str, resize_hw,
     with open(tmp, "wb") as f:
         w = _PackWriter(f, resize_hw, num_tags)
         for path, label, tags, frames in items:
+            if len(frames) == 0:
+                # a frames=0 entry would crash every reader (samplers need
+                # >=1 frame; gather on an empty view) — same guard as
+                # write_pack's max(probe, 1)
+                raise ValueError(f"empty frame stack for {path!r}")
             start = w.begin_video()
             w.write_frames(frames)
             w.end_video(start, path, label, tags, len(frames), len(frames))

@@ -62,10 +62,20 @@ class NativeTagger:
                              f"{self.num_classes} classes")
         self._own_workdir = workdir is None
         self.workdir = workdir or tempfile.mkdtemp(prefix="fvt_native_serve_")
-        self.server = NativeServer(
-            module, [(shape, np.uint8)], self.workdir, plugin=plugin,
-            client_options=client_options, ready_timeout=ready_timeout,
-            pipeline=pipeline)
+        try:
+            self.server = NativeServer(
+                module, [(shape, np.uint8)], self.workdir, plugin=plugin,
+                client_options=client_options, ready_timeout=ready_timeout,
+                pipeline=pipeline)
+        except BaseException:
+            # close() can never run without self.server — don't leak the
+            # mkdtemp (and the daemon's compile_options.pb inside) on every
+            # failed construction (e.g. a service retry loop)
+            if self._own_workdir:
+                import shutil
+
+                shutil.rmtree(self.workdir, ignore_errors=True)
+            raise
 
     def _score_u8(self, clips_u8: np.ndarray, nclips: int) -> np.ndarray:
         return self.server.request([clips_u8])[0][:nclips]
@@ -99,18 +109,15 @@ class NativeTagger:
         # pipelined: the single forward decode pass feeds chunks into the
         # daemon ahead of execution (same one-pass reader + overlap cache
         # as stream_video_scores)
-        from fastvideotagging_tpu.data import decode
         from fastvideotagging_tpu.evaluation.tagger import (
             eval_clip_index,
             iter_eval_chunks,
+            open_sequential_reader,
         )
 
-        s = self.sampler_cfg
-        n, _, _, _ = decode.probe_video(video_path)
-        span = (s.clip_len - 1) * s.stride + 1
-        clip_idx = eval_clip_index(n, s)
-        with decode.SequentialReader(
-                video_path, cache_size=max(128, 2 * span)) as reader:
+        n, reader = open_sequential_reader(video_path, self.sampler_cfg)
+        clip_idx = eval_clip_index(n, self.sampler_cfg)
+        with reader:
             return self._pipelined_scores(
                 iter_eval_chunks(reader.read, clip_idx, self.ship_hw,
                                  self.clip_batch),

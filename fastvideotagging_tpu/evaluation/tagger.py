@@ -98,16 +98,24 @@ def scores_from_frames(read_frames, n_frames: int, sampler_cfg, ship_hw,
     return (total / clip_idx.shape[0]).astype(np.float32)
 
 
+def open_sequential_reader(video_path: str, sampler_cfg):
+    """-> (probe frame count, SequentialReader) with the dense-eval cache
+    size (2 clip spans of backward overlap). The ONE reader recipe shared
+    by stream_video_scores and the pipelined native path — keep the cache
+    policy identical or the two engines' decode behavior diverges."""
+    n, _, _, _ = decode.probe_video(video_path)
+    span = (sampler_cfg.clip_len - 1) * sampler_cfg.stride + 1
+    return n, decode.SequentialReader(video_path,
+                                      cache_size=max(128, 2 * span))
+
+
 def stream_video_scores(video_path: str, sampler_cfg, ship_hw,
                         num_classes: int, clip_batch: int,
                         score_u8) -> np.ndarray:
     """scores_from_frames over one forward decode pass of a video file
     (O(video), overlap cache)."""
-    s = sampler_cfg
-    n, _, _, _ = decode.probe_video(video_path)
-    span = (s.clip_len - 1) * s.stride + 1
-    with decode.SequentialReader(
-            video_path, cache_size=max(128, 2 * span)) as reader:
+    n, reader = open_sequential_reader(video_path, sampler_cfg)
+    with reader:
         return scores_from_frames(reader.read, n, sampler_cfg, ship_hw,
                                   num_classes, clip_batch, score_u8)
 

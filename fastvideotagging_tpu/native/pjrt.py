@@ -195,12 +195,7 @@ def run_serving(module_path: str, inputs: list[np.ndarray],
         raise RuntimeError(
             f"pjrt_runner failed (rc={proc.returncode}):\n{proc.stderr}")
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    outs = []
-    for o in summary["outputs"]:
-        dt = _DTYPES.get(o["dtype"])
-        if dt is None:
-            raise TypeError(f"runner returned unsupported dtype {o['dtype']}")
-        outs.append(np.fromfile(o["file"], dtype=dt).reshape(o["shape"]))
+    outs = _load_outputs(summary["outputs"])
     if bench > 1:
         return outs, summary.get("bench")
     return outs
@@ -323,22 +318,34 @@ class NativeServer:
                 raise ValueError(
                     f"input {i} shape {arr.shape} != spec {shape}")
             arrays.append(arr)
-        rid = self._req_id
-        self._req_id += 1
+        rid = self._req_id  # consumed only once the input files exist: an
+        # IO failure here must not desync the id counter from the daemon's
+        # line counter (it never sees this request)
         paths = []
-        for i, arr in enumerate(arrays):
-            path = os.path.join(self.workdir, f"req{rid}_in{i}.bin")
-            arr.tofile(path)
-            paths.append(path)
+        try:
+            for i, arr in enumerate(arrays):
+                path = os.path.join(self.workdir, f"req{rid}_in{i}.bin")
+                arr.tofile(path)
+                paths.append(path)
+        except OSError:
+            for p in paths:
+                if os.path.exists(p):
+                    os.unlink(p)
+            raise
+        self._req_id += 1
         try:
             self._proc.stdin.write(" ".join(paths) + "\n")
             self._proc.stdin.flush()
-        except (BrokenPipeError, OSError):
+        except (BrokenPipeError, OSError, ValueError):
+            # ValueError: write on a CLOSED stdin (after close()) — the same
+            # soft-error type _read_reply uses for per-request daemon errors,
+            # so it must become NativeServerDied here or a backfill loop
+            # would retry every request against a closed server
             for p in paths:
                 os.unlink(p)
             self._desync = True  # dead server: unusable either way
             raise NativeServerDied(
-                "native server exited:\n" + "".join(self._stderr))
+                "native server exited or is closed:\n" + "".join(self._stderr))
         return rid, paths
 
     def _read_reply(self, rid: int, paths: list[str]) -> list[np.ndarray]:

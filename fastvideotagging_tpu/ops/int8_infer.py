@@ -136,8 +136,19 @@ def _affine(x, scale, bias, relu=False):
 
 def _bn_of(variables, path):
     # models.layers.Norm wraps the flax BatchNorm as child "BatchNorm_0"
-    p = _get(variables["params"], path)["BatchNorm_0"]
-    s = _get(variables["batch_stats"], path)["BatchNorm_0"]
+    try:
+        p = _get(variables["params"], path)["BatchNorm_0"]
+        s = _get(variables["batch_stats"], path)["BatchNorm_0"]
+    except (KeyError, TypeError) as e:
+        # name-only coverage gates admit e.g. norm='group' checkpoints; the
+        # engine folds BN into the requant epilogue, so only batch/frozen
+        # norm variants are servable — fail with the reason, not a KeyError
+        # from deep inside jit tracing
+        raise ValueError(
+            f"int8 engine: no BatchNorm stats at {'/'.join(path)} — the "
+            f"checkpoint was not trained with norm='batch'/'frozen' "
+            f"(GroupNorm models cannot fold norm into the requant "
+            f"epilogue)") from e
     return fold_bn(p["scale"], p["bias"], s["mean"], s["var"])
 
 
@@ -504,12 +515,20 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
 
 
 def r2plus1d_int8_infer(qpack, x, stage_blocks=(2, 2, 2, 2),
-                        float_blocks=DEFAULT_FLOAT_BLOCKS,
+                        float_blocks=None,
                         dynamic: bool = False, residual: str = "dequant",
                         debug_sites: bool = False):
-    """Round-2 compatibility entry: the r2plus1d walk via the spec."""
-    return int8_infer(qpack, x, r2plus1d_spec(tuple(stage_blocks)),
-                      float_blocks=tuple(float_blocks), dynamic=dynamic,
+    """Round-2 compatibility entry: the r2plus1d walk via the spec.
+
+    float_blocks=None uses the SPEC's measured bf16 tail (for 34-layer
+    nets that includes stage4_block2 — a 512-channel residual-cancellation
+    block whose quantization error is measured catastrophic; the old
+    18-layer DEFAULT_FLOAT_BLOCKS constant silently quantized it)."""
+    spec = r2plus1d_spec(tuple(stage_blocks))
+    fb = spec.default_float_blocks if float_blocks is None \
+        else tuple(float_blocks)
+    return int8_infer(qpack, x, spec,
+                      float_blocks=fb, dynamic=dynamic,
                       residual=residual, debug_sites=debug_sites)
 
 

@@ -192,3 +192,19 @@ def test_recorded_accuracy_gate():
     rec = json.load(open(path))
     assert rec["bf16_top1"] - rec["int8_top1"] <= 0.02 + 1e-9
     assert rec["int8_top1"] >= 0.90
+
+
+def test_bn_of_groupnorm_checkpoint_fails_with_reason():
+    """The name-only coverage gate admits norm='group' checkpoints; the
+    engine must fail with the REASON (BN folds into the requant epilogue)
+    rather than a KeyError from deep inside jit tracing."""
+    import pytest
+
+    from fastvideotagging_tpu.ops.int8_infer import _bn_of
+
+    variables = {
+        "params": {"stem": {"s": {"GroupNorm_0": {"scale": 1.0}}}},
+        "batch_stats": {},
+    }
+    with pytest.raises(ValueError, match="norm='batch'"):
+        _bn_of(variables, ("stem", "s"))

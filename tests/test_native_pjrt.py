@@ -561,3 +561,37 @@ def test_daemon_death_mid_pipeline_flags_desync(fake_server):
     leftovers = [f for f in os.listdir(fake_server.workdir)
                  if f.startswith("req")]
     assert leftovers == []
+
+
+def test_request_after_close_fails_fast_and_leaks_nothing(fake_server):
+    """Writing to a CLOSED daemon stdin raises ValueError from the file
+    object — the same type _read_reply uses for soft per-request errors; it
+    must surface as NativeServerDied (fail fast) and unlink the request's
+    input files."""
+    out, = fake_server.request([np.zeros((4,), np.uint8)])  # healthy first
+    fake_server.close()
+    with pytest.raises(pjrt.NativeServerDied):
+        fake_server.request([np.zeros((4,), np.uint8)])
+    leftovers = [f for f in os.listdir(fake_server.workdir)
+                 if f.startswith("req")]
+    assert leftovers == []
+
+
+def test_input_write_failure_does_not_desync_id_counter(fake_server,
+                                                        monkeypatch):
+    """An IO failure while writing the input files consumes NO request id:
+    the daemon never saw the request, so the next healthy request must
+    still line up with the daemon's reply counter."""
+    before = fake_server._req_id
+    good_workdir = fake_server.workdir
+    # tofile into a nonexistent directory raises OSError mid-submit
+    monkeypatch.setattr(fake_server, "workdir",
+                        os.path.join(good_workdir, "nope", "nope"))
+    with pytest.raises(OSError):
+        fake_server.request([np.zeros((4,), np.uint8)])
+    monkeypatch.setattr(fake_server, "workdir", good_workdir)
+    assert fake_server._req_id == before
+    # next request matches the daemon's line counter: succeeds, no desync
+    out, = fake_server.request([np.arange(4, dtype=np.uint8)])
+    np.testing.assert_array_equal(out, np.arange(4, dtype=np.float32) * 2.0)
+    assert not fake_server._desync
