@@ -23,6 +23,18 @@ The IR is hashable (frozen dataclasses of tuples) so specs ride through
   mixed-precision granularity (``float_blocks``).
 * ``Dense``   — head layer (gap_fc: f32 matmul; flatten_mlp: model dtype).
 
+Multi-stream extension (round 3, SlowFast coverage): linear specs operate
+on one implicit stream ``"x"`` (the input). Dual-pathway DAGs add three
+top-level nodes over an environment of named streams:
+
+* ``Subsample`` — env[dst] = env[src][:, ::stride] (time axis).
+* ``Stream``    — run a tuple of Conv/MaxPool/Block nodes on env[name].
+* ``Fuse``      — env[dst] = concat(env[dst], conv(env[src])) on channels
+  (the SlowFast lateral connection; the conv node carries bn/relu).
+
+``ArchSpec.head_streams`` names the streams pooled and concatenated (in
+order) before the head; empty = the linear single-stream walk.
+
 Parity contract: each builder mirrors the corresponding flax module
 (models/{r2plus1d,p3d,c3d}.py) exactly; tests/test_int8_infer.py and
 tests/test_arch_spec.py assert the spec walk == model.apply(train=False)
@@ -78,13 +90,39 @@ class Dense:
 
 
 @dataclasses.dataclass(frozen=True)
+class Subsample:
+    """env[dst] = env[src][:, ::stride] — pathway split (SlowFast slow)."""
+    src: str
+    dst: str
+    stride: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Stream:
+    """Run ``nodes`` (Conv | MaxPool | Block) on the named stream."""
+    name: str
+    nodes: Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Fuse:
+    """env[dst] = concat(env[dst], conv(env[src])) — SlowFast lateral."""
+    src: str
+    dst: str
+    conv: Conv
+
+
+@dataclasses.dataclass(frozen=True)
 class ArchSpec:
-    nodes: Tuple  # Conv | MaxPool | Block
+    nodes: Tuple  # Conv | MaxPool | Block | Subsample | Stream | Fuse
     head_pool: str  # 'gap' (global avg pool, f32) | 'flatten'
     head: Tuple[Dense, ...]
     # blocks kept in bf16 by default in the int8 engine (measured
     # residual-cancellation tails; ops/int8_infer module docstring)
     default_float_blocks: Tuple[str, ...] = ()
+    # streams pooled + concatenated (in order) before the head; empty ->
+    # the linear single-stream walk on the implicit stream "x"
+    head_streams: Tuple[str, ...] = ()
 
 
 def iter_convs(spec: ArchSpec):
@@ -99,13 +137,20 @@ def iter_convs(spec: ArchSpec):
                 for c in n.right:
                     yield key, c
 
-    for node in spec.nodes:
-        if isinstance(node, Conv):
-            yield None, node
-        elif isinstance(node, Block):
-            yield from from_main(node.key, node.main)
-            if node.down is not None:
-                yield node.key, node.down
+    def walk(nodes):
+        for node in nodes:
+            if isinstance(node, Conv):
+                yield None, node
+            elif isinstance(node, Block):
+                yield from from_main(node.key, node.main)
+                if node.down is not None:
+                    yield node.key, node.down
+            elif isinstance(node, Stream):
+                yield from walk(node.nodes)
+            elif isinstance(node, Fuse):
+                yield None, node.conv
+
+    yield from walk(spec.nodes)
 
 
 def conv_id(c: Conv) -> str:
@@ -262,6 +307,82 @@ def videoresnet_spec(stage_conv_types: Tuple[str, ...] = ("3d",) * 4,
                     default_float_blocks=tail)
 
 
+def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
+                  stage_blocks: Tuple[int, ...] = (1, 1, 1, 1)) -> ArchSpec:
+    """SlowFast dual-pathway net (models/slowfast.py, zoo defaults).
+
+    Two streams over the input: ``slow`` = x[:, ::alpha] through wide
+    blocks, ``fast`` = full rate through 1/beta-width blocks; a lateral
+    (5x1x1, stride alpha) conv projects fast -> 2*C_fast channels and
+    concatenates into slow after the stem and after every stage. Head:
+    gap both streams, concat (slow first — the flax concat order), fc.
+
+    Site sharing: the fast tensor at each fusion point feeds BOTH the
+    lateral conv and the next fast block's entry — one site name, so the
+    smoothing-consumers map sees both kernels. SFBlock downsample convs
+    exist when stride != 1 OR cin != features (the channel arithmetic
+    below mirrors the flax module: slow cin grows by 2*wf per fusion).
+    """
+    cf = max(base_width // beta, 8)
+
+    def lateral(idx: int, site: str) -> Fuse:
+        return Fuse("fast", "slow",
+                    Conv(site, (f"lateral{idx}", "kernel"), (alpha, 1, 1),
+                         bn=(f"lateral{idx}_bn",)))
+
+    def sf_block(key: str, s: int, cin: int, feats: int) -> Block:
+        main = (
+            Conv(f"{key}.in", (key, "spatial1", "kernel"), (1, s, s),
+                 bn=(key, "bn1")),
+            Conv(f"{key}.s1", (key, "temporal1", "kernel"), (1, 1, 1),
+                 bn=(key, "bn2")),
+            Conv(f"{key}.t1", (key, "spatial2", "kernel"), (1, 1, 1),
+                 bn=(key, "bn3"), relu=False),
+        )
+        down = (Conv(f"{key}.in", (key, "down", "kernel"), (1, s, s),
+                     bn=(key, "bn_down"), relu=False)
+                if (s != 1 or cin != feats) else None)
+        return Block(key, main, down)
+
+    nodes = [
+        Subsample("x", "slow", alpha),
+        Subsample("x", "fast", 1),
+        Stream("slow", (Conv("slow.in", ("slow_stem", "kernel"), (1, 2, 2),
+                             bn=("slow_stem_bn",)),)),
+        Stream("fast", (Conv("fast.in", ("fast_stem", "kernel"), (1, 2, 2),
+                             bn=("fast_stem_bn",)),)),
+        lateral(0, "fast_s0_b0.in"),
+    ]
+    slow_c, fast_c = base_width + 2 * cf, cf
+    for stage, num_blocks in enumerate(stage_blocks):
+        ws = base_width * (2 ** stage)
+        wf = max(ws // beta, 8)
+        slow_blocks, fast_blocks = [], []
+        for b in range(num_blocks):
+            s = 2 if (stage > 0 and b == 0) else 1
+            slow_blocks.append(
+                sf_block(f"slow_s{stage}_b{b}", s, slow_c, ws))
+            fast_blocks.append(
+                sf_block(f"fast_s{stage}_b{b}", s, fast_c, wf))
+            slow_c, fast_c = ws, wf
+        nodes.append(Stream("slow", tuple(slow_blocks)))
+        nodes.append(Stream("fast", tuple(fast_blocks)))
+        last = stage == len(stage_blocks) - 1
+        nodes.append(lateral(stage + 1, "fast.out" if last
+                             else f"fast_s{stage + 1}_b0.in"))
+        slow_c = ws + 2 * wf
+    # bf16 tail by analogy with the measured r2plus1d register (the final
+    # widest-stage residual blocks sit behind the same main-path/residual
+    # cancellation); pending on-chip accuracy measurement for this family.
+    last_stage = len(stage_blocks) - 1
+    tail = tuple(f"{p}_s{last_stage}_b{b}"
+                 for p in ("slow", "fast")
+                 for b in range(stage_blocks[last_stage]))
+    return ArchSpec(tuple(nodes), "gap", (Dense(("fc",)),),
+                    default_float_blocks=tail,
+                    head_streams=("slow", "fast"))
+
+
 # zoo name -> spec builder (the serving-surface gate; replaces the round-2
 # STAGE_BLOCKS dict). `_tpu` variants share the faithful structure.
 _BUILDERS = {
@@ -275,6 +396,7 @@ _BUILDERS = {
     "c3d": c3d_spec,
     "r3d_18": lambda: videoresnet_spec(("3d",) * 4),
     "mc3_18": lambda: videoresnet_spec(("3d", "no_t", "no_t", "no_t")),
+    "slowfast_r2plus1d": slowfast_spec,
 }
 
 # Every surface gating on engine coverage (Tagger, quantized glue, serving

@@ -11,9 +11,10 @@ Round 3: the layer walk is no longer hand-written per architecture — every
 engine here (bf16 reference, calibration, quantizer, int8 forward) is an
 interpreter over the declarative ``ops/arch_spec.ArchSpec`` IR, the single
 source of truth for block structure. R(2+1)D-18/34 (+ `_tpu`), P3D-63/131/
-199 and C3D all quantize through the same code; numerics for r2plus1d are
-identical to the round-2 engine (same walk order, same site names, same
-epilogue math — the on-chip accuracy artifacts remain valid).
+199, C3D, r3d_18/mc3_18 and the SlowFast dual-pathway net (via the
+multi-stream IR nodes) all quantize through the same code; numerics for
+r2plus1d are identical to the round-2 engine (same walk order, same site
+names, same epilogue math — the on-chip accuracy artifacts remain valid).
 
 Scheme — SmoothQuant-style static weight smoothing + per-tensor activation
 scales, every choice fixed by measurement on the hard 50-class motion
@@ -70,7 +71,10 @@ from fastvideotagging_tpu.ops.arch_spec import (
     ArchSpec,
     Block,
     Conv,
+    Fuse,
     MaxPool,
+    Stream,
+    Subsample,
     Sum,
     conv_id,
     iter_convs,
@@ -161,12 +165,25 @@ def _maxpool(y, node):
         padding)
 
 
-def _head(spec, x, dense_params):
-    """Shared head: gap -> f32 matmul chain; flatten -> model-dtype MLP."""
+def _pooled(spec, env):
+    """Stream env -> pre-dense feature. Multi-stream specs gap-pool each
+    head stream and concatenate (the flax concat order); linear specs pool
+    the implicit "x" stream per head_pool."""
+    if spec.head_streams:
+        if spec.head_pool != "gap":
+            raise ValueError("multi-stream heads require gap pooling")
+        return jnp.concatenate(
+            [jnp.mean(env[s].astype(jnp.float32), axis=(1, 2, 3))
+             for s in spec.head_streams], axis=-1)
+    x = env["x"]
     if spec.head_pool == "gap":
-        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
-    else:
-        y = x.reshape((x.shape[0], -1))
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+    return x.reshape((x.shape[0], -1))
+
+
+def _head(spec, y, dense_params):
+    """Shared head on the pooled feature: gap -> f32 matmul chain;
+    flatten -> model-dtype MLP."""
     for i, d in enumerate(spec.head):
         last = i == len(spec.head) - 1
         kernel, bias = dense_params[i]
@@ -212,24 +229,38 @@ def spec_walk(spec: ArchSpec, variables, x, record):
                 raise TypeError(node)
         return y
 
-    y = x.astype(jnp.bfloat16)
+    def run(y, nodes):
+        for node in nodes:
+            if isinstance(node, Conv):
+                y = conv(y, node)
+            elif isinstance(node, MaxPool):
+                y = _maxpool(y, node)
+            elif isinstance(node, Block):
+                residual = y
+                z = chain(y, node.main)
+                if node.down is not None:
+                    residual = conv(residual, node.down)
+                y = jnp.maximum(z.astype(jnp.float32)
+                                + residual.astype(jnp.float32),
+                                0.0).astype(jnp.bfloat16)
+            else:
+                raise TypeError(node)
+        return y
+
+    env = {"x": x.astype(jnp.bfloat16)}
     for node in spec.nodes:
-        if isinstance(node, Conv):
-            y = conv(y, node)
-        elif isinstance(node, MaxPool):
-            y = _maxpool(y, node)
-        elif isinstance(node, Block):
-            residual = y
-            z = chain(y, node.main)
-            if node.down is not None:
-                residual = conv(residual, node.down)
-            y = jnp.maximum(z.astype(jnp.float32)
-                            + residual.astype(jnp.float32),
-                            0.0).astype(jnp.bfloat16)
+        if isinstance(node, Subsample):
+            env[node.dst] = env[node.src][:, ::node.stride]
+        elif isinstance(node, Stream):
+            env[node.name] = run(env[node.name], node.nodes)
+        elif isinstance(node, Fuse):
+            env[node.dst] = jnp.concatenate(
+                [env[node.dst], conv(env[node.src], node.conv)], axis=-1)
         else:
-            raise TypeError(node)
-    return _head(spec, y, [( _get(p, d.param)["kernel"],
-                             _get(p, d.param)["bias"]) for d in spec.head])
+            env["x"] = run(env["x"], (node,))
+    return _head(spec, _pooled(spec, env),
+                 [(_get(p, d.param)["kernel"],
+                   _get(p, d.param)["bias"]) for d in spec.head])
 
 
 def _walk(variables, x, stage_blocks, record):
@@ -477,39 +508,56 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
                 raise TypeError(node)
         return y
 
-    y = x
-    for node in spec.nodes:
-        if isinstance(node, Conv):
-            q, s_dyn = quant_site(y, node.site)
-            y = conv_q(q, s_dyn, node)
-        elif isinstance(node, MaxPool):
-            y = _maxpool(y.astype(jnp.bfloat16), node)
-        elif isinstance(node, Block):
-            if node.key not in float_blocks:
-                in_site = node.main[0].site
-                q_in, s_in = quant_site(y, in_site)
-                zf = chain_q(y, node.main, q_first=(q_in, s_in))
-                if node.down is not None:
-                    rf = conv_q(q_in, s_in, node.down, out_f32=True)
-                elif residual == "dequant":
-                    # reconstruct the residual from the quantized input:
-                    # the block input never materializes in bf16 (saves a
-                    # write+read of the full tensor per block) at the cost
-                    # of site-level rounding noise on the residual path
-                    rf = q_in.astype(jnp.float32) * (s_in / inv_f[in_site])
+    def run(y, nodes):
+        for node in nodes:
+            if isinstance(node, Conv):
+                q, s_dyn = quant_site(y, node.site)
+                y = conv_q(q, s_dyn, node)
+            elif isinstance(node, MaxPool):
+                y = _maxpool(y.astype(jnp.bfloat16), node)
+            elif isinstance(node, Block):
+                if node.key not in float_blocks:
+                    in_site = node.main[0].site
+                    q_in, s_in = quant_site(y, in_site)
+                    zf = chain_q(y, node.main, q_first=(q_in, s_in))
+                    if node.down is not None:
+                        rf = conv_q(q_in, s_in, node.down, out_f32=True)
+                    elif residual == "dequant":
+                        # reconstruct the residual from the quantized
+                        # input: the block input never materializes in bf16
+                        # (saves a write+read of the full tensor per block)
+                        # at the cost of site-level rounding noise on the
+                        # residual path
+                        rf = (q_in.astype(jnp.float32)
+                              * (s_in / inv_f[in_site]))
+                    else:
+                        rf = y.astype(jnp.float32)
                 else:
-                    rf = y.astype(jnp.float32)
+                    zf = chain_f(y, node.main).astype(jnp.float32)
+                    if node.down is not None:
+                        rf = conv_f(y, node.down).astype(jnp.float32)
+                    else:
+                        rf = y.astype(jnp.float32)
+                y = jnp.maximum(zf + rf, 0.0).astype(jnp.bfloat16)
             else:
-                zf = chain_f(y, node.main).astype(jnp.float32)
-                if node.down is not None:
-                    rf = conv_f(y, node.down).astype(jnp.float32)
-                else:
-                    rf = y.astype(jnp.float32)
-            y = jnp.maximum(zf + rf, 0.0).astype(jnp.bfloat16)
-        else:
-            raise TypeError(node)
+                raise TypeError(node)
+        return y
 
-    logits = _head(spec, y,
+    env = {"x": x}
+    for node in spec.nodes:
+        if isinstance(node, Subsample):
+            env[node.dst] = env[node.src][:, ::node.stride]
+        elif isinstance(node, Stream):
+            env[node.name] = run(env[node.name], node.nodes)
+        elif isinstance(node, Fuse):
+            q, s_dyn = quant_site(env[node.src], node.conv.site)
+            lat = conv_q(q, s_dyn, node.conv)
+            env[node.dst] = jnp.concatenate(
+                [env[node.dst].astype(jnp.bfloat16), lat], axis=-1)
+        else:
+            env["x"] = run(env["x"], (node,))
+
+    logits = _head(spec, _pooled(spec, env),
                    [(h["kernel"], h["bias"]) for h in qpack["head"]])
     return (logits, sites) if debug_sites else logits
 

@@ -34,6 +34,8 @@ CASES = [
     ("c3d", C3D_SHAPE, {"dropout": 0.0}),
     ("r3d_18", SHAPE, {}),
     ("mc3_18", SHAPE, {}),
+    # dual-pathway DAG through the multi-stream IR (clip_len % alpha == 0)
+    ("slowfast_r2plus1d", SHAPE, {}),
 ]
 
 
@@ -128,6 +130,35 @@ def test_calibration_sites_cover_every_conv_input(name, shape, kw):
 def test_spec_for_unknown_name_raises():
     with pytest.raises(KeyError, match="covers"):
         spec_for("tiny3d")
+
+
+def test_slowfast_stream_structure():
+    """The dual-pathway spec carries the flax module's exact topology:
+    5 laterals (stem + one per stage), per-stream blocks, and downsample
+    convs exactly where stride != 1 or the fused channel count mismatches
+    (slow stage-0 entry: 64+2*8=80 in vs 64 out -> down at stride 1)."""
+    from fastvideotagging_tpu.ops.arch_spec import (
+        Block, Fuse, Stream, Subsample)
+
+    spec = spec_for("slowfast_r2plus1d")
+    fuses = [n for n in spec.nodes if isinstance(n, Fuse)]
+    assert len(fuses) == 5
+    assert all(f.src == "fast" and f.dst == "slow" for f in fuses)
+    assert all(f.conv.strides == (4, 1, 1) for f in fuses)
+    subs = [n for n in spec.nodes if isinstance(n, Subsample)]
+    assert [(s.dst, s.stride) for s in subs] == [("slow", 4), ("fast", 1)]
+    blocks = {b.key: b for n in spec.nodes if isinstance(n, Stream)
+              for b in n.nodes if isinstance(b, Block)}
+    assert len(blocks) == 8  # (1,1,1,1) stages x 2 pathways
+    assert blocks["slow_s0_b0"].down is not None    # 80 in != 64 out
+    assert blocks["fast_s0_b0"].down is None        # 8 in == 8 out
+    assert blocks["slow_s1_b0"].down is not None    # stride 2
+    # the fast tensor at a fusion point feeds the lateral AND the next
+    # fast block under ONE site name (shared smoothing consumers)
+    assert fuses[0].conv.site == blocks["fast_s0_b0"].main[0].site
+    assert fuses[-1].conv.site == "fast.out"
+    assert spec.head_streams == ("slow", "fast")
+    assert set(spec.default_float_blocks) == {"slow_s3_b0", "fast_s3_b0"}
 
 
 def test_p3d_block_cycle_structure():

@@ -143,3 +143,29 @@ class TestTagger:
         _, tiny_vars = init_variables(tiny_cfg)
         with pytest.raises(ValueError, match="int8 tagging covers"):
             Tagger(tiny_cfg, tiny_vars, int8=True)
+
+    def test_int8_serving_path_slowfast(self, synthetic_dataset):
+        """The dual-pathway family serves through the same self-calibrating
+        int8 tagger (multi-stream spec IR); clip_len must satisfy the
+        model's alpha divisibility (4 % alpha=4 == 0)."""
+        root, list_path = synthetic_dataset
+        records = load_video_list(list_path, root=root)
+        cfg = ExperimentConfig(
+            model=ModelConfig(name="slowfast_r2plus1d", num_classes=3,
+                              multilabel=True, compute_dtype="bfloat16"),
+            data=DataConfig(source_hw=(48, 64), resize_hw=(40, 56),
+                            crop_hw=(32, 32),
+                            sampler=ClipSamplerConfig(clip_len=4, stride=2,
+                                                      eval_mode="uniform",
+                                                      num_eval_clips=2)),
+        )
+        model = get_model("slowfast_r2plus1d", num_classes=3)
+        x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=False)
+        tagger = Tagger(cfg, variables, clip_batch=2, int8=True)
+        a = tagger.video_scores(records[0].path)
+        assert a.shape == (3,) and np.isfinite(a).all()
+        assert (a >= 0).all() and (a <= 1).all()
+        b = tagger.video_scores(records[0].path)
+        np.testing.assert_array_equal(a, b)

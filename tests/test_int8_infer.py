@@ -136,10 +136,10 @@ def test_make_int8_apply_eval_glue(model_and_vars, clips):
     assert np.isfinite(scores).all()
     # softmax scores: rows sum to 1
     np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-3)
-    # round 3: c3d/p3d ARE covered (spec-driven engine); truly-unsupported
-    # names still raise the informative coverage error
+    # round 3: c3d/p3d (and now slowfast, via the multi-stream IR) ARE
+    # covered; truly-unsupported names still raise the coverage error
     with pytest.raises(KeyError, match="covers"):
-        make_int8_apply("slowfast_r2plus1d", variables, [clips])
+        make_int8_apply("tiny3d", variables, [clips])
 
 
 def test_int8_engine_tpu_variant_walk(clips):
