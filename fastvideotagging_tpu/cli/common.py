@@ -63,6 +63,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--cache-mb", type=int, default=None,
                    help=">0 caches decoded videos in host RAM (small sets)")
+    p.add_argument("--host-crop", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="crop on the host before H2D (1.75x fewer shipped "
+                        "bytes at 128x171->112x112, bit-identical pixels; "
+                        "training path; needs frames shipped at resize_hw)")
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -163,6 +168,7 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
         resize_hw=tuple(args.resize) if g("resize") else None,
         crop_hw=tuple(args.crop) if g("crop") else None,
         num_workers=g("num_workers"), cache_mb=g("cache_mb"),
+        host_crop=g("host_crop"),
     )
     data = dataclasses.replace(data, sampler=sampler)
     model = _override(

@@ -50,6 +50,14 @@ class DataConfig:
     mean: Tuple[float, float, float] = (0.43216, 0.394666, 0.37645)
     std: Tuple[float, float, float] = (0.22803, 0.22145, 0.216989)
     random_flip: bool = True
+    # Apply the (random/center) crop on the HOST before shipping, sending
+    # (crop_hw) uint8 instead of (resize_hw) — 1.75x fewer H2D bytes at the
+    # canonical 128x171->112x112 geometry, bit-identical pixels (the device
+    # resize is an identity matmul once frames are pre-resized, so its crop
+    # row-slice equals the host slice). Covers the train step and
+    # evaluate(); requires frames shipped at resize_hw (incompatible with
+    # source_hw device-resize). Tagger/serving keep full-frame contracts.
+    host_crop: bool = False
     num_workers: int = 8
     prefetch_depth: int = 2  # double-buffered device prefetch (SURVEY.md N5)
     # >0: cache decoded videos (at ship resolution) in host RAM up to this

@@ -108,6 +108,13 @@ class ClipDataset:
         # resize (the spec-exact fast path); otherwise host pre-resizes to
         # resize_hw and the device resize is an identity matmul.
         self.ship_hw = getattr(data_cfg, "source_hw", None) or data_cfg.resize_hw
+        if getattr(data_cfg, "host_crop", False) and tuple(
+                self.ship_hw) != tuple(data_cfg.resize_hw):
+            raise ValueError(
+                "host_crop slices the shipped frames directly, which is only "
+                "pixel-exact when they are already at resize_hw (the device "
+                "resize is then an identity); it cannot combine with "
+                f"source_hw={data_cfg.source_hw} device-side resize")
 
     def __len__(self) -> int:
         return len(self.records)
@@ -187,6 +194,15 @@ class ClipDataset:
         ch, cw = self.cfg.crop_hw
         top, left = sampler.random_crop_offsets(rh, rw, ch, cw, rng)
         flip = bool(self.cfg.random_flip and rng.integers(0, 2))
+        if getattr(self.cfg, "host_crop", False):
+            # Same draw, applied here: ship only the (ch, cw) window. The
+            # device kernel then crops at (0, 0) from an identity resize —
+            # bit-identical to device-side cropping (test_host_crop.py).
+            # Flip stays on device (a row-reversal of the coefficient
+            # matrix; zero H2D savings from doing it here).
+            # A view is enough — _collate's np.stack materializes the copy.
+            frames = frames[:, top:top + ch, left:left + cw]
+            top = left = 0
         return ClipSample(frames, rec.label if rec.label is not None else -1,
                           self._multihot(rec), top, left, flip)
 

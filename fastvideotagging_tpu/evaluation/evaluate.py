@@ -140,14 +140,25 @@ def evaluate_video_scores(
     # (cv2 releases the GIL) while video i's clips forward on the device.
     # Videos are still processed strictly in order, so the aggregation
     # spec (f32 sum in clip order) is untouched.
+    # host_crop (DataConfig): apply the center crop host-side and ship only
+    # the (crop_hw) window — same identity-resize row-slice argument as the
+    # train path (tests/test_host_crop.py), bit-identical scores with 1.75x
+    # fewer H2D bytes per clip. The dataset guard already rejected
+    # host_crop+source_hw, so clips arrive at resize_hw here.
+    host_crop = getattr(d, "host_crop", False)
+    ch, cw = d.crop_hw
+    ctop, cleft = (d.resize_hw[0] - ch) // 2, (d.resize_hw[1] - cw) // 2
+    pre_hw = d.crop_hw if host_crop else d.resize_hw
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = pool.submit(dataset.get_eval_clips, 0) if len(dataset) else None
         for i in range(len(dataset)):
             clips_u8, _rec = pending.result()
             pending = (pool.submit(dataset.get_eval_clips, i + 1)
                        if i + 1 < len(dataset) else None)
+            if host_crop:
+                clips_u8 = clips_u8[:, :, ctop:ctop + ch, cleft:cleft + cw]
             clips = preprocess_eval_clip(
-                clips_u8, d.resize_hw, d.crop_hw, d.mean, d.std,
+                clips_u8, pre_hw, d.crop_hw, d.mean, d.std,
                 out_dtype_name=cfg.model.compute_dtype,
             )
             scores = _forward_scores(apply, variables, clips, clip_batch,

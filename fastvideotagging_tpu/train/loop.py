@@ -46,11 +46,15 @@ def make_train_step(
     std = jnp.asarray(d.std, jnp.float32)
     compute_dtype = cfg.model.compute_dtype
 
+    # host_crop ships pre-cropped frames: the device "resize" becomes the
+    # (crop_hw -> crop_hw) identity and the kernel only applies flip+norm.
+    resize_hw = d.crop_hw if getattr(d, "host_crop", False) else d.resize_hw
+
     def loss_fn(params, batch_stats, batch, dropout_rng):
         clips = preprocess_batch(
             batch["frames"], batch["crop_tops"], batch["crop_lefts"],
             batch["flips"], mean, std,
-            resize_hw=d.resize_hw, crop_hw=d.crop_hw,
+            resize_hw=resize_hw, crop_hw=d.crop_hw,
             out_dtype_name=compute_dtype,
         )
         variables = {"params": params, "batch_stats": batch_stats}
@@ -88,7 +92,10 @@ def make_sample_batch(cfg: ExperimentConfig, batch_size: int | None = None) -> d
     d = cfg.data
     b = batch_size or cfg.train.batch_size
     t = d.sampler.clip_len
-    h, w = d.source_hw or d.resize_hw
+    if getattr(d, "host_crop", False):
+        h, w = d.crop_hw
+    else:
+        h, w = d.source_hw or d.resize_hw
     batch = {
         "frames": jnp.zeros((b, t, h, w, 3), jnp.uint8),
         "labels": jnp.zeros((b,), jnp.int32),

@@ -37,13 +37,14 @@ def make_train_step_shardmap(model, cfg: ExperimentConfig, mesh: Mesh,
     multilabel = cfg.model.multilabel
     mean = jnp.asarray(d.mean, jnp.float32)
     std = jnp.asarray(d.std, jnp.float32)
+    resize_hw = d.crop_hw if getattr(d, "host_crop", False) else d.resize_hw
 
     def local_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
         def loss_fn(params, batch_stats):
             clips = preprocess_batch(
                 batch["frames"], batch["crop_tops"], batch["crop_lefts"],
                 batch["flips"], mean, std,
-                resize_hw=d.resize_hw, crop_hw=d.crop_hw,
+                resize_hw=resize_hw, crop_hw=d.crop_hw,
                 out_dtype_name=cfg.model.compute_dtype,
             )
             logits, mutated = model.apply(

@@ -22,6 +22,15 @@ def test_omitted_flag_keeps_preset_value():
     assert build_config(args).model.multilabel is True
 
 
+def test_host_crop_flag_both_ways():
+    args = cli_train.parse_args(["--host-crop"])
+    assert build_config(args).data.host_crop is True
+    args = cli_train.parse_args(["--no-host-crop"])
+    assert build_config(args).data.host_crop is False
+    # omitted keeps the (False) default
+    assert build_config(cli_train.parse_args([])).data.host_crop is False
+
+
 def test_no_resume_overrides():
     args = cli_train.parse_args(
         ["--preset", "r2plus1d18_ucf101", "--no-resume"])
