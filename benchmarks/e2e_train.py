@@ -57,12 +57,47 @@ def write_synth_pack(path: str, num_videos: int, frames_per_video: int,
         path, hw)
 
 
+def measure_h2d_bound(batch_shape: tuple[int, ...]) -> dict:
+    """Host->device bandwidth for one training batch's frame buffer.
+
+    On this dev box the TPU sits behind a network tunnel (~15-30 MiB/s, vs
+    multi-GB/s PCIe on a real host), which caps user-visible e2e clips/s far
+    below the device step rate no matter how well the pipeline overlaps.
+    Measuring the bound alongside the e2e number makes the artifact
+    self-attributing: e2e ~= min(bare_step, h2d_bound) means the pipeline
+    tier is doing its job and the residual gap is the transport, not the
+    framework."""
+    import numpy as np
+    import jax
+
+    d = jax.devices()[0]
+    batch = np.random.randint(0, 255, size=batch_shape, dtype=np.uint8)
+    # Warm the tunnel/allocator once (first transfer pays connection setup).
+    _ = float(jax.device_put(batch, d)[0, 0, 0, 0, 0])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = jax.device_put(batch, d)
+        _ = float(x[0, 0, 0, 0, 0])  # force completion, 1-elem readback
+        times.append(time.perf_counter() - t0)
+    sec = statistics.median(times)
+    mib = batch.nbytes / 2**20
+    return {
+        "batch_mib": round(mib, 1),
+        "h2d_mib_per_sec": round(mib / sec, 1),
+        "h2d_bound_clips_per_sec": round(batch_shape[0] / sec, 1),
+    }
+
+
 def run(num_videos: int, frames_per_video: int, epochs: int,
-        log_every: int, smoke: bool) -> dict:
+        log_every: int, smoke: bool, host_crop: bool = False) -> dict:
     from fastvideotagging_tpu.config import PRESETS
     from fastvideotagging_tpu.train.fit import fit
 
     cfg = PRESETS["r2plus1d18_ucf101"]
+    if host_crop:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, host_crop=True))
     if smoke:
         cfg = dataclasses.replace(
             cfg,
@@ -79,6 +114,11 @@ def run(num_videos: int, frames_per_video: int, epochs: int,
             checkpoint_dir=""))
     batch = cfg.train.batch_size
     steps_per_epoch = num_videos // batch
+    ship_hw = cfg.data.crop_hw if host_crop else cfg.data.resize_hw
+    h2d = {} if smoke else measure_h2d_bound(
+        (batch, cfg.data.sampler.clip_len) + tuple(ship_hw) + (3,))
+    if h2d:
+        print(f"h2d bound: {h2d}", flush=True)
 
     with tempfile.TemporaryDirectory() as tmp:
         pack = os.path.join(tmp, "bench.fvtpack")
@@ -102,6 +142,7 @@ def run(num_videos: int, frames_per_video: int, epochs: int,
     steady = speeds[1:] or speeds
     row = {
         "config": "r2plus1d18_ucf101" if not smoke else "smoke",
+        "host_crop": host_crop,
         "batch_size": batch,
         "pack_videos": num_videos,
         "pack_mib": round(pack_mb, 1),
@@ -113,13 +154,19 @@ def run(num_videos: int, frames_per_video: int, epochs: int,
         "first_window_clips_per_sec": round(speeds[0], 2),
         "wall_s_total": round(wall, 1),
         "speed_windows": [round(s, 1) for s in speeds],
+        **h2d,
         "note": ("median steady-state samples/sec over fit()'s logging "
                  "windows (each = wall time for log_every steps incl. "
                  "loader, H2D prefetch, device step, metric sync, JSONL "
                  "write; first window additionally holds the jit compile). "
                  "Compare bench.py r2plus1d18_train_clips_per_sec_per_chip "
                  "(bare dedupe-proof step): e2e/bare >= ~0.9 means the "
-                 "packed loader tier fully hides data IO behind the chip."),
+                 "packed loader tier fully hides data IO behind the chip. "
+                 "On this dev box the TPU is behind a ~15-30 MiB/s tunnel; "
+                 "h2d_bound_clips_per_sec is the transport ceiling for this "
+                 "batch geometry — e2e ~= that bound means the pipeline is "
+                 "transport-limited, not framework-limited (a real host's "
+                 "PCIe moves the same batch in ~2 ms)."),
     }
     return row
 
@@ -132,16 +179,24 @@ def main(argv=None):
     ap.add_argument("--log-every", type=int, default=8)
     ap.add_argument("--smoke", action="store_true",
                     help="CPU mechanics check at toy geometry; no artifact")
+    ap.add_argument("--host-crop", action="store_true",
+                    help="ship pre-cropped (crop_hw) frames — 1.75x fewer "
+                         "H2D bytes, bit-identical pixels (test_host_crop)")
     args = ap.parse_args(argv)
     if args.smoke:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     row = run(args.videos, args.frames, args.epochs, args.log_every,
-              args.smoke)
+              args.smoke, host_crop=args.host_crop)
     print(json.dumps(row))
     if not args.smoke:
-        record = {"date": "2026-08-17", "e2e_train": row}
+        record = {}
+        if os.path.exists(OUT):
+            with open(OUT) as f:
+                record = json.load(f)
+        record["date"] = "2026-08-18"
+        record["e2e_train_host_crop" if args.host_crop else "e2e_train"] = row
         with open(OUT, "w") as f:
             json.dump(record, f, indent=1)
 
