@@ -79,6 +79,10 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr-steps", type=int, nargs="*", default=None)
     p.add_argument("--lr-decay", type=float, default=None)
     p.add_argument("--warmup-epochs", type=int, default=None)
+    p.add_argument("--clip-grad-norm", type=float, default=None,
+                   help=">0 clips gradients to this global L2 norm "
+                        "(recommended for s3d, which has no residual "
+                        "bypass and explodes at init on tiny batches)")
     p.add_argument("--grad-accum", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
@@ -183,6 +187,7 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
         momentum=g("momentum"), weight_decay=g("wd"),
         lr_steps=tuple(args.lr_steps) if g("lr_steps") else None,
         lr_decay=g("lr_decay"), warmup_epochs=g("warmup_epochs"),
+        clip_grad_norm=g("clip_grad_norm"),
         grad_accum_steps=g("grad_accum"), seed=g("seed"),
         checkpoint_dir=g("checkpoint_dir"), resume=g("resume"),
         log_every=g("log_every"),

@@ -21,9 +21,7 @@ from fastvideotagging_tpu.data.packed import is_pack, open_dataset
 from fastvideotagging_tpu.data.pipeline import ClipDataset
 from fastvideotagging_tpu.evaluation.evaluate import evaluate
 from fastvideotagging_tpu.models import model_from_config
-from fastvideotagging_tpu.train import lr as lr_lib
 from fastvideotagging_tpu.train.checkpoint import CheckpointManager
-from fastvideotagging_tpu.train.state import create_train_state
 
 
 def main(argv=None):
@@ -55,18 +53,14 @@ def main(argv=None):
         dataset = ClipDataset(records, cfg.data, mode="eval", num_tags=num_tags)
 
     model = model_from_config(cfg.model)
-    import jax.numpy as jnp
 
-    ch, cw = cfg.data.crop_hw
-    sample = jnp.zeros((1, cfg.data.sampler.clip_len, ch, cw, 3), jnp.float32)
-    tx = lr_lib.make_optimizer(cfg.train, steps_per_epoch=1)
-    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    # Weights-only restore: eval doesn't need the optimizer state, and a
+    # typed restore would force this CLI's optimizer flags (--clip-grad-norm,
+    # --grad-accum) to match the training run's exactly.
     ckpt = CheckpointManager(args.checkpoint_dir)
-    state, _ = ckpt.restore(state)
-    if state is None:
+    variables, _step = ckpt.restore_weights()
+    if variables is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
-
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
     apply_fn = None
     if args.int8:
         from fastvideotagging_tpu.evaluation.quantized import make_int8_apply

@@ -166,7 +166,17 @@ def evaluate_video_scores(
             # Aggregation spec: f32 sum in clip order, divided by clip count.
             video = scores.astype(np.float32).sum(axis=0) / scores.shape[0]
             all_scores.append(video)
-    return np.stack(all_scores), dataset.records
+    out = np.stack(all_scores)
+    if not np.all(np.isfinite(out)):
+        # Without this, a diverged model reads as chance-level top1 (argmax
+        # of a NaN row is 0) and silently-empty tags — diagnose it loudly.
+        bad = int((~np.isfinite(out).all(axis=1)).sum())
+        log.warning(
+            "non-finite scores for %d/%d videos — the model diverged in "
+            "training (try --clip-grad-norm / a lower --lr) or the weights "
+            "do not match the architecture; metrics are meaningless",
+            bad, out.shape[0])
+    return out, dataset.records
 
 
 def evaluate(

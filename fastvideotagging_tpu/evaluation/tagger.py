@@ -124,6 +124,17 @@ def rank_tags(scores: np.ndarray, tag_names: list[str],
               threshold: float = 0.5,
               top_k: int | None = None) -> list[TagResult]:
     """scores -> sorted [(tag, score, index), ...] above threshold."""
+    if not np.all(np.isfinite(scores)):
+        from fastvideotagging_tpu.utils.logging import get_logger
+
+        # NaN fails every >= threshold test, so a diverged model would
+        # otherwise return [] with no explanation.
+        get_logger("fvt.tag").warning(
+            "non-finite tag scores (%d/%d) — the model diverged in "
+            "training (try --clip-grad-norm / a lower --lr) or the "
+            "weights do not match the architecture; no tags can clear "
+            "the threshold",
+            int((~np.isfinite(scores)).sum()), scores.size)
     order = np.argsort(-scores, kind="stable")
     results = [
         TagResult(tag_names[i], float(scores[i]), int(i))

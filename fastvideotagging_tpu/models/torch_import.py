@@ -12,6 +12,10 @@ Covered layouts (round 3 — VERDICT r2 item 7):
   fc6/fc7/fc8), incl. the channel-first->channels-last fc6 permutation;
 * P3D-63/131/199 — the canonical public P3D PyTorch bottleneck schema
   (conv1..conv4/bn1..bn4 per block + downsample, stem conv1_custom/bn1).
+* S3D — torchvision ``models.video.s3d`` (features Sequential of
+  TemporalSeparableConv / Conv3dNormActivation / SepInceptionBlock3D;
+  1x1x1-conv classifier, which commutes with the head pooling and maps
+  onto our Dense head exactly) -> models/s3d.py.
 
 Each converts the torch layout to this package's flax variables:
 
@@ -252,6 +256,56 @@ def convert_videoresnet_state_dict(
     return {"params": params, "batch_stats": stats}
 
 
+def convert_s3d_state_dict(state_dict: Mapping[str, object]) -> dict:
+    """torchvision ``models.video.s3d`` state_dict -> flax variables
+    (models/s3d.py, ``gating=False``).
+
+    Layout (documented in the torchvision source): ``features`` is a
+    Sequential of TemporalSeparableConv / Conv3dNormActivation /
+    SepInceptionBlock3D modules at fixed indices; every conv+BN pair
+    appears as ``<prefix>.0.weight`` + ``<prefix>.1.{weight,bias,
+    running_mean,running_var}``. The classifier is a biased 1x1x1 Conv3d
+    (``classifier.1``) which, being linear and position-independent,
+    commutes with the head pooling — it maps exactly onto our Dense ``fc``
+    (see models/s3d.py head note).
+    """
+    sd = _StateDict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    def cna(t_prefix: str, f_conv, f_bn) -> None:
+        # Conv3dNormActivation: <t>.0 conv + <t>.1 BN
+        _set(params, tuple(f_conv) + ("kernel",), _conv(sd, t_prefix + ".0"))
+        _bn(sd, t_prefix + ".1", params, stats, f_bn)
+
+    def sep(t_prefix: str, f_prefix: tuple) -> None:
+        # TemporalSeparableConv: <t>.0 spatial CNA + <t>.1 temporal CNA
+        cna(t_prefix + ".0", f_prefix + ("spatial",), f_prefix + ("bn_s",))
+        cna(t_prefix + ".1", f_prefix + ("temporal",), f_prefix + ("bn_t",))
+
+    sep("features.0", ("stem",))
+    cna("features.2", ("conv2",), ("conv2_bn",))
+    sep("features.3", ("conv3",))
+
+    blocks = {"mixed3b": 5, "mixed3c": 6, "mixed4b": 8, "mixed4c": 9,
+              "mixed4d": 10, "mixed4e": 11, "mixed4f": 12, "mixed5b": 14,
+              "mixed5c": 15}
+    for name, idx in blocks.items():
+        t = f"features.{idx}"
+        cna(f"{t}.branch0", (name, "b0"), (name, "b0_bn"))
+        cna(f"{t}.branch1.0", (name, "b1_reduce"), (name, "b1_bn"))
+        sep(f"{t}.branch1.1", (name, "b1_sep"))
+        cna(f"{t}.branch2.0", (name, "b2_reduce"), (name, "b2_bn"))
+        sep(f"{t}.branch2.1", (name, "b2_sep"))
+        cna(f"{t}.branch3.1", (name, "b3_conv"), (name, "b3_bn"))
+
+    w = sd.take("classifier.1.weight")  # (K, 1024, 1, 1, 1)
+    _set(params, ("fc", "kernel"), w.reshape(w.shape[0], w.shape[1]).T)
+    _set(params, ("fc", "bias"), sd.take("classifier.1.bias"))
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
 _CONVERTERS = {
     "r2plus1d_18": lambda sd: convert_r2plus1d_state_dict(sd, (2, 2, 2, 2)),
     "r2plus1d_34": lambda sd: convert_r2plus1d_state_dict(sd, (3, 4, 6, 3)),
@@ -261,6 +315,7 @@ _CONVERTERS = {
     "p3d_199": lambda sd: convert_p3d_state_dict(sd, (3, 8, 36, 3)),
     "r3d_18": lambda sd: convert_videoresnet_state_dict(sd, (2, 2, 2, 2)),
     "mc3_18": lambda sd: convert_videoresnet_state_dict(sd, (2, 2, 2, 2)),
+    "s3d": convert_s3d_state_dict,
 }
 
 

@@ -254,6 +254,22 @@ def _mc3_18(num_classes: int, **kw) -> nn.Module:
                          num_classes=num_classes, **kw)
 
 
+@register("s3d")
+def _s3d(num_classes: int, **kw) -> nn.Module:
+    """Separable-3D Inception (Xie'18; PAPERS.md:7), torchvision layout."""
+    from fastvideotagging_tpu.models.s3d import S3D
+
+    return S3D(num_classes=num_classes, **kw)
+
+
+@register("s3d_g")
+def _s3d_g(num_classes: int, **kw) -> nn.Module:
+    """S3D-G: S3D with per-channel self-gating on every separable conv."""
+    from fastvideotagging_tpu.models.s3d import S3D
+
+    return S3D(num_classes=num_classes, gating=True, **kw)
+
+
 @register("slowfast_r2plus1d")
 def _slowfast(num_classes: int, **kw) -> nn.Module:
     """Dual-pathway stretch config [B:11]; kwargs: alpha, beta, shard_axis."""

@@ -35,6 +35,9 @@ class NullCheckpointManager:
     def restore(self, target_state, step=None):
         return None, None
 
+    def restore_weights(self, step=None):
+        return None, None
+
     def wait(self):
         pass
 
@@ -97,6 +100,24 @@ class CheckpointManager:
             ),
         )
         return restored["state"], {"epoch": int(restored["epoch"])}
+
+    def restore_weights(self, step: int | None = None):
+        """Weights-only restore: ``({"params", "batch_stats"}, step)`` or
+        ``(None, None)``.
+
+        For eval/serving consumers. A typed full-state restore needs the
+        optimizer tree to MATCH the one the checkpoint was trained with
+        (--clip-grad-norm / --grad-accum each add an opt-state node), which
+        an eval CLI has no business knowing; the untyped restore reads the
+        saved schema as-is and drops opt_state.
+        """
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        state = restored["state"]
+        return ({"params": state["params"],
+                 "batch_stats": state["batch_stats"]}, int(state["step"]))
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

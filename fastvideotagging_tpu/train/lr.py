@@ -41,14 +41,21 @@ def multifactor_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedu
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     """SGD + momentum + decoupled weight decay, with optional grad accumulation."""
-    tx = optax.chain(
+    steps = []
+    if cfg.clip_grad_norm > 0:
+        # Clip BEFORE decoupled weight decay so the decay term is not
+        # scaled down with the gradient (decay is a function of weights,
+        # not of gradient magnitude).
+        steps.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    steps += [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.sgd(
             learning_rate=multifactor_schedule(cfg, steps_per_epoch),
             momentum=cfg.momentum,
             nesterov=False,
         ),
-    )
+    ]
+    tx = optax.chain(*steps)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx

@@ -169,3 +169,26 @@ class TestTagger:
         assert (a >= 0).all() and (a <= 1).all()
         b = tagger.video_scores(records[0].path)
         np.testing.assert_array_equal(a, b)
+
+
+class TestNonFiniteScores:
+    """A diverged model must fail LOUDLY, not as silently-empty tags /
+    chance-level metrics (the s3d round-3 incident: NaN logits read as
+    top1=0.5 and zero tags with no hint)."""
+
+    def test_rank_tags_warns_and_returns_empty(self, capfd):
+        # fvt loggers don't propagate to root (own console handler), so
+        # assert on the captured stderr rather than caplog.
+        from fastvideotagging_tpu.evaluation.tagger import rank_tags
+
+        scores = np.full((4,), np.nan, np.float32)
+        out = rank_tags(scores, ["a", "b", "c", "d"], threshold=0.5)
+        assert out == []
+        assert "non-finite" in capfd.readouterr().err
+
+    def test_rank_tags_finite_is_silent(self, capfd):
+        from fastvideotagging_tpu.evaluation.tagger import rank_tags
+
+        out = rank_tags(np.array([0.9, 0.1], np.float32), ["a", "b"])
+        assert [t.tag for t in out] == ["a"]
+        assert "non-finite" not in capfd.readouterr().err

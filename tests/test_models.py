@@ -212,3 +212,45 @@ class TestVideoResNet3D:
         variables = _init_shapes(model, (1, 8, 32, 32, 3))
         logits = _apply_shape(model, variables, (1, 8, 32, 32, 3))
         assert logits.shape == (1, 5)
+
+
+class TestS3D:
+    """S3D / S3D-G (Xie'18 separable-3D Inception; torchvision layout)."""
+
+    def test_s3d_shapes_and_params(self):
+        model = get_model("s3d", num_classes=400)
+        variables = _init_shapes(model, (1, 16, 224, 224, 3))
+        logits = _apply_shape(model, variables, (2, 16, 224, 224, 3))
+        assert logits.shape == (2, 400)
+        assert logits.dtype == jnp.float32
+        # torchvision s3d @ 400 classes: 8.32M published params, exactly
+        assert _param_count(variables) == 8_320_048
+        # final Inception concat width (mixed5c): 384+384+128+128 = 1024
+        assert variables["params"]["fc"]["kernel"].shape == (1024, 400)
+
+    def test_s3d_small_geometry(self):
+        # 112px inputs (final spatial extent != 7) run via the global-mean
+        # head; T=8 -> T'=1 exercises the window-skip branch
+        model = get_model("s3d", num_classes=11)
+        variables = _init_shapes(model, (1, 8, 112, 112, 3))
+        logits = _apply_shape(model, variables, (1, 8, 112, 112, 3))
+        assert logits.shape == (1, 11)
+
+    def test_s3d_g_gating_params(self):
+        model = get_model("s3d_g", num_classes=400)
+        variables = _init_shapes(model, (1, 16, 112, 112, 3))
+        params = variables["params"]
+        # every separable conv carries a CxC+C gate; spot-check stem + one
+        # inception branch
+        assert params["stem"]["gate"]["kernel"].shape == (64, 64)
+        assert params["mixed5c"]["b1_sep"]["gate"]["kernel"].shape == (384, 384)
+        n_gate = _param_count(variables)
+        n_plain = _param_count(_init_shapes(
+            get_model("s3d", num_classes=400), (1, 16, 112, 112, 3)))
+        assert n_gate > n_plain
+
+    def test_s3d_has_no_gate_params(self):
+        variables = _init_shapes(get_model("s3d", num_classes=5),
+                                 (1, 8, 64, 64, 3))
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        assert not any("gate" in jax.tree_util.keystr(p) for p, _ in flat)

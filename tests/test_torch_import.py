@@ -488,3 +488,146 @@ def test_videoresnet_import_reproduces_torch_logits(name):
         lambda v, x: model.apply(v, x, train=False))(variables, x))
     np.testing.assert_allclose(ours, torch_logits.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# S3D (torchvision models.video.s3d layout)
+# ---------------------------------------------------------------------------
+
+
+class TorchCNA(nn.Sequential):
+    """Conv3dNormActivation: conv (bias=False) + BatchNorm3d(eps=1e-3) + ReLU."""
+
+    def __init__(self, cin, cout, k=(1, 1, 1), stride=(1, 1, 1),
+                 pad=(0, 0, 0)):
+        super().__init__(
+            nn.Conv3d(cin, cout, k, stride=stride, padding=pad, bias=False),
+            nn.BatchNorm3d(cout, eps=1e-3),
+            nn.ReLU(inplace=True))
+
+
+class TorchSepConv(nn.Sequential):
+    """TemporalSeparableConv: spatial CNA then temporal CNA."""
+
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__(
+            TorchCNA(cin, cout, (1, k, k), (1, stride, stride), (0, pad, pad)),
+            TorchCNA(cout, cout, (k, 1, 1), (stride, 1, 1), (pad, 0, 0)))
+
+
+class TorchSepInception(nn.Module):
+    def __init__(self, cin, c0, c1a, c1b, c2a, c2b, c3):
+        super().__init__()
+        self.branch0 = TorchCNA(cin, c0)
+        self.branch1 = nn.Sequential(
+            TorchCNA(cin, c1a), TorchSepConv(c1a, c1b, 3, 1, 1))
+        self.branch2 = nn.Sequential(
+            TorchCNA(cin, c2a), TorchSepConv(c2a, c2b, 3, 1, 1))
+        self.branch3 = nn.Sequential(
+            nn.MaxPool3d(3, 1, 1), TorchCNA(cin, c3))
+
+    def forward(self, x):
+        return torch.cat([self.branch0(x), self.branch1(x),
+                          self.branch2(x), self.branch3(x)], dim=1)
+
+
+class TorchS3D(nn.Module):
+    """The documented torchvision S3D layout. The head AvgPool3d window is
+    clipped to the feature extent (torchvision's fixed (2, 7, 7) equals
+    this at the canonical 224px geometry; fixed would not run at test
+    sizes)."""
+
+    def __init__(self, num_classes=7):
+        super().__init__()
+        self.features = nn.Sequential(
+            TorchSepConv(3, 64, 7, 2, 3),
+            nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            TorchCNA(64, 64),
+            TorchSepConv(64, 192, 3, 1, 1),
+            nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            TorchSepInception(192, 64, 96, 128, 16, 32, 32),
+            TorchSepInception(256, 128, 128, 192, 32, 96, 64),
+            nn.MaxPool3d((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+            TorchSepInception(480, 192, 96, 208, 16, 48, 64),
+            TorchSepInception(512, 160, 112, 224, 24, 64, 64),
+            TorchSepInception(512, 128, 128, 256, 24, 64, 64),
+            TorchSepInception(512, 112, 144, 288, 32, 64, 64),
+            TorchSepInception(528, 256, 160, 320, 32, 128, 128),
+            nn.MaxPool3d((2, 2, 2), (2, 2, 2), (0, 0, 0)),
+            TorchSepInception(832, 256, 160, 320, 32, 128, 128),
+            TorchSepInception(832, 384, 192, 384, 48, 128, 128),
+        )
+        self.classifier = nn.Sequential(
+            nn.Dropout(p=0.0),
+            nn.Conv3d(1024, num_classes, 1, bias=True))
+
+    def forward(self, x):
+        x = self.features(x)
+        window = (min(2, x.shape[2]), x.shape[3], x.shape[4])
+        x = torch.nn.functional.avg_pool3d(x, window, stride=1)
+        x = self.classifier(x)
+        return torch.mean(x, dim=(2, 3, 4))
+
+
+@pytest.fixture(scope="module")
+def s3d_model_and_input():
+    gen = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        tm = TorchS3D(num_classes=7)
+        _randomize_bn_stats(tm, gen)
+        tm.eval()
+        # T=16 -> T'=2 after the three temporal /2 stages, so the head's
+        # temporal window-2 average is exercised (not just skipped).
+        xt = torch.randn((1, 3, 16, 64, 64), generator=gen)
+        torch_logits = tm(xt)
+    return tm, xt, torch_logits
+
+
+def test_s3d_import_reproduces_torch_logits(s3d_model_and_input):
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_s3d_state_dict,
+    )
+
+    tm, xt, torch_logits = s3d_model_and_input
+    variables = convert_s3d_state_dict(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+    model = get_model("s3d", num_classes=7, dtype=jnp.float32, dropout=0.0)
+    x = jnp.asarray(xt.permute(0, 2, 3, 4, 1).numpy())
+    ours = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x))
+    np.testing.assert_allclose(ours, torch_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_s3d_strict_key_accounting(s3d_model_and_input):
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_s3d_state_dict,
+    )
+
+    tm, _, _ = s3d_model_and_input
+    sd = dict(tm.state_dict())
+    sd.pop("features.5.branch1.1.0.0.weight")
+    with pytest.raises(KeyError, match="branch1"):
+        convert_s3d_state_dict(sd)
+
+    sd = dict(tm.state_dict())
+    sd["features.99.weight"] = sd["features.2.0.weight"]
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_s3d_state_dict(sd)
+
+
+def test_s3d_load_pretrained_cross_class(s3d_model_and_input, tmp_path):
+    """Kinetics-checkpoint-onto-N-classes: head reinit, backbone kept."""
+    from fastvideotagging_tpu.models.zoo import load_pretrained
+
+    tm, _, _ = s3d_model_and_input
+    path = tmp_path / "s3d.pth"
+    torch.save(tm.state_dict(), str(path))
+    model, variables = load_pretrained("s3d", str(path), num_classes=11,
+                                       dtype=jnp.float32, dropout=0.0)
+    assert variables["params"]["fc"]["kernel"].shape == (1024, 11)
+    # backbone weights are the checkpoint's, not a reinit
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["stem"]["spatial"]["kernel"]),
+        tm.state_dict()["features.0.0.0.weight"]
+        .permute(2, 3, 4, 1, 0).numpy(), rtol=0, atol=0)

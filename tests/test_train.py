@@ -207,3 +207,88 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(loaded["params"]),
                         jax.tree.leaves(state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_weights_ignores_optimizer_shape(self, tmp_path):
+        """Weights-only restore must work WITHOUT reconstructing the
+        training run's optimizer tree — a checkpoint trained with
+        --clip-grad-norm (extra opt-state node) must restore into an eval
+        process that knows nothing about clipping."""
+        cfg = tiny_cfg(clip_grad_norm=1.0)
+        model, state = make_state(cfg)
+        step = make_train_step(model, cfg, donate=False)
+        state, _ = step(state, synth_batch(cfg), jax.random.PRNGKey(1))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(state.step), jax.device_get(state), {"epoch": 1})
+        mgr.wait()
+        variables, restored_step = mgr.restore_weights()
+        assert restored_step == int(state.step)
+        assert set(variables) == {"params", "batch_stats"}
+        for a, b in zip(jax.tree.leaves(variables["params"]),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
+
+class TestGradClip:
+    def test_clip_bounds_first_update(self):
+        """With zero momentum history the first SGD update is exactly
+        -lr * clipped_grad, so its global norm is bounded by lr * clip."""
+        cfg = TrainConfig(base_lr=0.1, clip_grad_norm=1.0, weight_decay=0.0,
+                          warmup_epochs=0)
+        tx = lr_lib.make_optimizer(cfg, steps_per_epoch=10)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        opt_state = tx.init(params)
+        grads = jax.tree.map(lambda p: 1e6 * jnp.ones_like(p), params)
+        updates, _ = tx.update(grads, opt_state, params)
+        import optax
+        norm = float(optax.global_norm(updates))
+        assert norm <= 0.1 * 1.0 + 1e-6
+        assert norm > 0.09  # clipped to the boundary, not zeroed
+
+    def test_clip_disabled_by_default(self):
+        cfg = TrainConfig(base_lr=0.1, weight_decay=0.0, warmup_epochs=0)
+        tx = lr_lib.make_optimizer(cfg, steps_per_epoch=10)
+        params = {"w": jnp.ones((2,))}
+        updates, _ = tx.update({"w": jnp.full((2,), 100.0)},
+                               tx.init(params), params)
+        np.testing.assert_allclose(np.asarray(updates["w"]),
+                                   -0.1 * np.full((2,), 100.0), rtol=1e-6)
+
+    def test_s3d_diverges_without_clip_trains_with_it(self):
+        """The measured s3d pathology (PERF.md / VERDICT r3): global grad
+        norm ~2.6e5 at init on tiny batches. One SGD step at lr=0.01
+        unclipped destroys the params; the clipped step keeps the next
+        forward finite and the params near init."""
+        import optax
+        from fastvideotagging_tpu.models.zoo import get_model as zoo_get
+
+        model = zoo_get("s3d", num_classes=2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32, 32, 3))
+        y = jnp.array([0, 1])
+        variables = model.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 8, 32, 32, 3)))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        def loss_fn(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        grads = jax.jit(jax.grad(loss_fn))(params)
+        gnorm = float(optax.global_norm(grads))
+        assert gnorm > 1e3  # the pathology is real at this geometry
+
+        cfg = TrainConfig(base_lr=0.01, clip_grad_norm=1.0,
+                          weight_decay=0.0, warmup_epochs=0)
+        tx = lr_lib.make_optimizer(cfg, steps_per_epoch=1)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        new_params = optax.apply_updates(params, updates)
+        logits = jax.jit(lambda p: model.apply(
+            {"params": p, "batch_stats": stats},
+            x, train=False))(new_params)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+        assert float(optax.global_norm(updates)) <= 0.01 + 1e-6
