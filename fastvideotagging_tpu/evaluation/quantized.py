@@ -9,7 +9,7 @@ plugs straight into ``evaluate(..., apply_fn=...)`` /
 
 Round 3: coverage is driven by the declarative architecture specs
 (ops/arch_spec.spec_for) — the r2plus1d family, P3D-63/131/199, C3D,
-r3d/mc3 and the SlowFast dual-pathway net all share one engine; the
+r3d/mc3, the SlowFast dual-pathway net and S3D all share one engine; the
 per-model mixed-precision bf16 tail comes from the spec
 (``default_float_blocks``).
 """

@@ -35,6 +35,14 @@ top-level nodes over an environment of named streams:
 ``ArchSpec.head_streams`` names the streams pooled and concatenated (in
 order) before the head; empty = the linear single-stream walk.
 
+Inception extension (round 3f, S3D coverage): ``Branches`` runs several
+Conv/MaxPool chains on ONE input and channel-concatenates their outputs —
+branch-entry convs share the node-input site name so the smoothing-
+consumers map sees every kernel reading that tensor. ``Conv.bn_eps``
+carries non-default BN epsilons into the fold (s3d: 1e-3), and
+``head_pool='gap_t2'`` is the S3D head (spatial mean -> temporal window-2
+stride-1 mean -> temporal mean).
+
 Parity contract: each builder mirrors the corresponding flax module
 (models/{r2plus1d,p3d,c3d}.py) exactly; tests/test_int8_infer.py and
 tests/test_arch_spec.py assert the spec walk == model.apply(train=False)
@@ -59,6 +67,7 @@ class Conv:
     bn: Optional[Tuple[str, ...]] = None    # path to a layers.Norm wrapper
     bias: Optional[Tuple[str, ...]] = None  # path to a bias vector (C3D)
     relu: bool = True
+    bn_eps: float = 1e-5  # folded into the requant affine (s3d uses 1e-3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +90,15 @@ class Block:
     key: str
     main: Tuple  # Conv | Sum nodes; last conv has relu=False (post-add relu)
     down: Optional[Conv] = None  # None -> identity residual
+
+
+@dataclasses.dataclass(frozen=True)
+class Branches:
+    """Inception node: every branch (a tuple of Conv | MaxPool) consumes
+    the node input; the output is the channel concat of the branch outputs
+    in order (S3D's SepInception). Branch-entry convs share the node-input
+    site name, so the smoothing-consumers map sees all of them."""
+    branches: Tuple[Tuple, ...]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,8 +132,10 @@ class Fuse:
 
 @dataclasses.dataclass(frozen=True)
 class ArchSpec:
-    nodes: Tuple  # Conv | MaxPool | Block | Subsample | Stream | Fuse
-    head_pool: str  # 'gap' (global avg pool, f32) | 'flatten'
+    nodes: Tuple  # Conv | MaxPool | Block | Branches | Subsample | Stream | Fuse
+    # 'gap' (global avg pool, f32) | 'flatten' | 'gap_t2' (S3D head: f32
+    # spatial mean -> temporal window-2 stride-1 mean -> temporal mean)
+    head_pool: str
     head: Tuple[Dense, ...]
     # blocks kept in bf16 by default in the int8 engine (measured
     # residual-cancellation tails; ops/int8_infer module docstring)
@@ -145,6 +165,9 @@ def iter_convs(spec: ArchSpec):
                 yield from from_main(node.key, node.main)
                 if node.down is not None:
                     yield node.key, node.down
+            elif isinstance(node, Branches):
+                for branch in node.branches:
+                    yield from walk(branch)
             elif isinstance(node, Stream):
                 yield from walk(node.nodes)
             elif isinstance(node, Fuse):
@@ -307,6 +330,67 @@ def videoresnet_spec(stage_conv_types: Tuple[str, ...] = ("3d",) * 4,
                     default_float_blocks=tail)
 
 
+def s3d_spec() -> ArchSpec:
+    """S3D (models/s3d.py, torchvision geometry; gating=False only —
+    S3D-G's data-dependent per-channel gate is not a conv epilogue).
+
+    Separable convs are (1xkxk, bn_s, relu) -> (kx1x1, bn_t, relu) pairs;
+    the nine SepInception blocks are ``Branches`` nodes whose b0/b1/b2
+    entry convs share the block-input site. BN eps is 1e-3 (the
+    torchvision S3D value), folded via Conv.bn_eps. Head: gap_t2 (f32
+    spatial mean, temporal window-2 stride-1 mean, temporal mean) —
+    models/s3d.py head note.
+    """
+    EPS = 1e-3
+
+    def sep(key_prefix, path, s=1):
+        """SepConv: spatial (1,s,s) + bn_s, temporal (s,1,1) + bn_t."""
+        return (
+            Conv(f"{key_prefix}.s_in", tuple(path) + ("spatial", "kernel"),
+                 (1, s, s), bn=tuple(path) + ("bn_s",), bn_eps=EPS),
+            Conv(f"{key_prefix}.t_in", tuple(path) + ("temporal", "kernel"),
+                 (s, 1, 1), bn=tuple(path) + ("bn_t",), bn_eps=EPS),
+        )
+
+    def inception(name):
+        b0 = (Conv(f"{name}.in", (name, "b0", "kernel"), (1, 1, 1),
+                   bn=(name, "b0_bn"), bn_eps=EPS),)
+        b1 = (Conv(f"{name}.in", (name, "b1_reduce", "kernel"), (1, 1, 1),
+                   bn=(name, "b1_bn"), bn_eps=EPS),
+              *sep(f"{name}.b1", (name, "b1_sep")))
+        b2 = (Conv(f"{name}.in", (name, "b2_reduce", "kernel"), (1, 1, 1),
+                   bn=(name, "b2_bn"), bn_eps=EPS),
+              *sep(f"{name}.b2", (name, "b2_sep")))
+        b3 = (MaxPool((3, 3, 3), (1, 1, 1),
+                      padding=((1, 1), (1, 1), (1, 1))),
+              Conv(f"{name}.pool", (name, "b3_conv", "kernel"), (1, 1, 1),
+                   bn=(name, "b3_bn"), bn_eps=EPS))
+        return Branches((b0, b1, b2, b3))
+
+    nodes = [
+        *sep("stem", ("stem",), s=2),
+        MaxPool((1, 3, 3), (1, 2, 2), padding=((0, 0), (1, 1), (1, 1))),
+        Conv("pool1", ("conv2", "kernel"), (1, 1, 1), bn=("conv2_bn",),
+             bn_eps=EPS),
+        *sep("conv3", ("conv3",)),
+        MaxPool((1, 3, 3), (1, 2, 2), padding=((0, 0), (1, 1), (1, 1))),
+        inception("mixed3b"),
+        inception("mixed3c"),
+        MaxPool((3, 3, 3), (2, 2, 2), padding=((1, 1), (1, 1), (1, 1))),
+        inception("mixed4b"),
+        inception("mixed4c"),
+        inception("mixed4d"),
+        inception("mixed4e"),
+        inception("mixed4f"),
+        MaxPool((2, 2, 2), (2, 2, 2)),
+        inception("mixed5b"),
+        inception("mixed5c"),
+    ]
+    # No residual structure -> no cancellation-amplified tail; every conv
+    # quantizes (parity gated by tests/test_int8_infer.py).
+    return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),))
+
+
 def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
                   stage_blocks: Tuple[int, ...] = (1, 1, 1, 1)) -> ArchSpec:
     """SlowFast dual-pathway net (models/slowfast.py, zoo defaults).
@@ -397,6 +481,7 @@ _BUILDERS = {
     "r3d_18": lambda: videoresnet_spec(("3d",) * 4),
     "mc3_18": lambda: videoresnet_spec(("3d", "no_t", "no_t", "no_t")),
     "slowfast_r2plus1d": slowfast_spec,
+    "s3d": s3d_spec,
 }
 
 # Every surface gating on engine coverage (Tagger, quantized glue, serving

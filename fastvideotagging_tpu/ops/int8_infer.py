@@ -11,8 +11,9 @@ Round 3: the layer walk is no longer hand-written per architecture — every
 engine here (bf16 reference, calibration, quantizer, int8 forward) is an
 interpreter over the declarative ``ops/arch_spec.ArchSpec`` IR, the single
 source of truth for block structure. R(2+1)D-18/34 (+ `_tpu`), P3D-63/131/
-199, C3D, r3d_18/mc3_18 and the SlowFast dual-pathway net (via the
-multi-stream IR nodes) all quantize through the same code; numerics for
+199, C3D, r3d_18/mc3_18, the SlowFast dual-pathway net (via the
+multi-stream IR nodes) and S3D (via the Inception ``Branches`` node) all
+quantize through the same code; numerics for
 r2plus1d are identical to the round-2 engine (same walk order, same site
 names, same epilogue math — the on-chip accuracy artifacts remain valid).
 
@@ -70,6 +71,7 @@ from jax import lax
 from fastvideotagging_tpu.ops.arch_spec import (
     ArchSpec,
     Block,
+    Branches,
     Conv,
     Fuse,
     MaxPool,
@@ -138,7 +140,7 @@ def _affine(x, scale, bias, relu=False):
     return y.astype(x.dtype)
 
 
-def _bn_of(variables, path):
+def _bn_of(variables, path, eps: float = 1e-5):
     # models.layers.Norm wraps the flax BatchNorm as child "BatchNorm_0"
     try:
         p = _get(variables["params"], path)["BatchNorm_0"]
@@ -153,7 +155,7 @@ def _bn_of(variables, path):
             f"checkpoint was not trained with norm='batch'/'frozen' "
             f"(GroupNorm models cannot fold norm into the requant "
             f"epilogue)") from e
-    return fold_bn(p["scale"], p["bias"], s["mean"], s["var"])
+    return fold_bn(p["scale"], p["bias"], s["mean"], s["var"], eps=eps)
 
 
 def _maxpool(y, node):
@@ -178,6 +180,14 @@ def _pooled(spec, env):
     x = env["x"]
     if spec.head_pool == "gap":
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+    if spec.head_pool == "gap_t2":
+        # S3D head (models/s3d.py): f32 spatial mean -> temporal window-2
+        # stride-1 mean -> temporal mean (exact torchvision numerics at
+        # the canonical geometry)
+        m = jnp.mean(x.astype(jnp.float32), axis=(2, 3))
+        if m.shape[1] > 1:
+            m = (m[:, :-1] + m[:, 1:]) * 0.5
+        return jnp.mean(m, axis=1)
     return x.reshape((x.shape[0], -1))
 
 
@@ -206,7 +216,8 @@ def spec_walk(spec: ArchSpec, variables, x, record):
         y = record(node.site, y)
         z = _bf16_conv(y, _get(p, node.kernel), node.strides)
         if node.bn is not None:
-            z = _affine(z, *_bn_of(variables, node.bn), relu=node.relu)
+            z = _affine(z, *_bn_of(variables, node.bn, node.bn_eps),
+                        relu=node.relu)
         else:
             bias = (_get(p, node.bias).astype(jnp.float32)
                     if node.bias is not None else 0.0)
@@ -235,6 +246,9 @@ def spec_walk(spec: ArchSpec, variables, x, record):
                 y = conv(y, node)
             elif isinstance(node, MaxPool):
                 y = _maxpool(y, node)
+            elif isinstance(node, Branches):
+                y = jnp.concatenate([run(y, br) for br in node.branches],
+                                    axis=-1)
             elif isinstance(node, Block):
                 residual = y
                 z = chain(y, node.main)
@@ -369,7 +383,7 @@ def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
     def conv_pack(node: Conv):
         k = jnp.asarray(_get(p, node.kernel), jnp.float32)
         if node.bn is not None:
-            bn_scale, bn_bias = _bn_of(variables, node.bn)
+            bn_scale, bn_bias = _bn_of(variables, node.bn, node.bn_eps)
         else:
             bn_scale = jnp.ones((k.shape[-1],), jnp.float32)
             bn_bias = (jnp.asarray(_get(p, node.bias), jnp.float32)
@@ -515,6 +529,10 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
                 y = conv_q(q, s_dyn, node)
             elif isinstance(node, MaxPool):
                 y = _maxpool(y.astype(jnp.bfloat16), node)
+            elif isinstance(node, Branches):
+                y = jnp.concatenate(
+                    [run(y, br).astype(jnp.bfloat16)
+                     for br in node.branches], axis=-1)
             elif isinstance(node, Block):
                 if node.key not in float_blocks:
                     in_site = node.main[0].site

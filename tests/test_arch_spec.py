@@ -36,6 +36,8 @@ CASES = [
     ("mc3_18", SHAPE, {}),
     # dual-pathway DAG through the multi-stream IR (clip_len % alpha == 0)
     ("slowfast_r2plus1d", SHAPE, {}),
+    # Inception branches through the Branches node; gap_t2 head; BN eps 1e-3
+    ("s3d", SHAPE, {}),
 ]
 
 
@@ -178,3 +180,37 @@ def test_p3d_block_cycle_structure():
     assert sums(blocks[2])[0].right_from == "left"
     # stage entries carry a downsample conv (incl. stage 1: 64 -> 256)
     assert blocks[0].down is not None and blocks[1].down is None
+
+
+def test_s3d_branch_structure():
+    """The Inception spec carries models/s3d.py's exact topology: nine
+    Branches nodes, b0/b1/b2 entry convs sharing the block-input site
+    (ONE smoothing-consumers entry), b3 quantizing the pooled tensor,
+    separable pairs as (1,k,k)+(k,1,1) strides, BN eps 1e-3 throughout."""
+    from fastvideotagging_tpu.ops.arch_spec import Branches, Conv, MaxPool
+
+    spec = spec_for("s3d")
+    assert spec.head_pool == "gap_t2"
+    blocks = [n for n in spec.nodes if isinstance(n, Branches)]
+    assert len(blocks) == 9
+    for b in blocks:
+        assert len(b.branches) == 4
+        b0, b1, b2, b3 = b.branches
+        name = b0[0].kernel[0]
+        # entry convs of b0/b1/b2 share the block-input site
+        assert b0[0].site == b1[0].site == b2[0].site == f"{name}.in"
+        # b1/b2: reduce + separable (spatial then temporal)
+        assert [c.strides for c in b1] == [(1, 1, 1)] * 3
+        assert b1[1].kernel[-2:] == ("spatial", "kernel")
+        assert b1[2].kernel[-2:] == ("temporal", "kernel")
+        # b3: stride-1 maxpool then 1x1x1 conv on its own site
+        assert isinstance(b3[0], MaxPool) and b3[0].strides == (1, 1, 1)
+        assert b3[1].site == f"{name}.pool"
+    # stem separable pair downsamples in BOTH factors (s3d stride=2)
+    convs = [c for _k, c in iter_convs(spec)]
+    assert convs[0].strides == (1, 2, 2) and convs[1].strides == (2, 1, 1)
+    assert all(c.bn_eps == 1e-3 for c in convs)
+    # every conv has folded BN (no biased convs in s3d)
+    assert all(c.bn is not None and c.bias is None for c in convs)
+    # 2 stem + 1 conv2 + 2 conv3 + 9 blocks x (1 + 3 + 3 + 1) convs
+    assert len(convs) == 5 + 9 * 8
