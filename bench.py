@@ -303,6 +303,17 @@ def main():
     sf_clips, sf_roof = _safe(_slowfast_row, (-1.0, -1.0),
                               "slowfast train step")
 
+    # S3D (Xie'18 separable-3D Inception, round 3f) at the UCF geometry —
+    # the efficiency-family anchor (8.3M params vs r2plus1d's 33M). Trained
+    # with grad clipping in practice (train/lr.py clip_grad_norm; the
+    # no-residual backbone explodes at init on tiny BN groups).
+    def _s3d_row():
+        clips, _tf, _fl, sec, roof = bench_train_step(
+            batch_size, model_name="s3d")
+        return clips, (roof / sec if sec > 0 else -1.0)
+
+    s3d_clips, s3d_roof = _safe(_s3d_row, (-1.0, -1.0), "s3d train step")
+
     def _loader_row():
         from fastvideotagging_tpu.cli.bench_loader import measure
 
@@ -385,6 +396,8 @@ def main():
             "frozen_bn_clips_per_sec": round(frozen_clips, 2),
             "slowfast_clips_per_sec": round(sf_clips, 2),
             "slowfast_roofline_fraction": round(sf_roof, 4),
+            "s3d_clips_per_sec": round(s3d_clips, 2),
+            "s3d_roofline_fraction": round(s3d_roof, 4),
             "host_decode_clips_per_sec": round(loader_clips, 2),
             "packed_loader_clips_per_sec": round(packed_clips, 2),
             "e2e_fit_clips_per_sec": round(e2e_clips, 2),
