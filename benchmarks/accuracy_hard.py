@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         base_lr: float = 0.05, seed: int = 0, root: str | None = None,
-        keep_data: bool = False, model_name: str = "r2plus1d_18") -> dict:
+        keep_data: bool = False, model_name: str = "r2plus1d_18",
+        clip_grad_norm: float = 0.0) -> dict:
     import numpy as np
 
     from fastvideotagging_tpu.config import (
@@ -67,6 +68,7 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
                           base_lr=base_lr, weight_decay=1e-4,
                           lr_steps=(int(epochs * 0.6), int(epochs * 0.85)),
                           warmup_epochs=2, seed=seed, log_every=10,
+                          clip_grad_norm=clip_grad_norm,  # s3d needs it
                           checkpoint_dir=""),  # save cost dominates tiny epochs
         parallel=ParallelConfig(data_parallel=1, model_parallel=1),
     )
@@ -97,6 +99,7 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         "top5": round(topk_accuracy(scores, labels, k=5), 4),
         "mAP": round(mean_average_precision(scores, onehot), 4),
         "chance_top1": round(1.0 / num_classes, 4),
+        "clip_grad_norm": clip_grad_norm,
         "gen_seconds": round(gen_s, 1),
         "train_seconds": round(train_s, 1),
         "eval_seconds": round(eval_s, 1),
@@ -213,6 +216,8 @@ def main(argv=None):
                    help="run the multi-object tagging variant")
     p.add_argument("--model", default="r2plus1d_18",
                    help="zoo name (e.g. r2plus1d_18_tpu) for the single-label run")
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="global-norm grad clip (required for s3d)")
     args = p.parse_args(argv)
     if args.multilabel:
         result = run_multilabel(
@@ -221,7 +226,8 @@ def main(argv=None):
     else:
         result = run(args.classes or 50, args.epochs or 40, args.batch,
                      args.lr or 0.05, args.seed, args.root,
-                     model_name=args.model)
+                     model_name=args.model,
+                     clip_grad_norm=args.clip_grad_norm)
     line = json.dumps(result, indent=2)
     print(line)
     if args.out:

@@ -131,3 +131,25 @@ def test_live_reduced_benchmark():
 
     r = accuracy_hard.run(num_classes=8, epochs=40, batch_size=32)
     assert r["top1"] >= 0.5, r
+
+
+def test_recorded_s3d_benchmark_meets_threshold():
+    """The checked-in S3D result (round 3f): the separable-Inception family
+    trains to r2plus1d-class accuracy on pure-motion classes — with grad
+    clipping (clip_grad_norm=1.0; the no-residual backbone diverges
+    without it, tests/test_train.py::TestGradClip)."""
+    path = os.path.join(REPO, "benchmarks", "ACCURACY_HARD_S3D.json")
+    assert os.path.exists(path), (
+        "benchmarks/ACCURACY_HARD_S3D.json missing — run "
+        "python benchmarks/accuracy_hard.py --model s3d --epochs 120 "
+        "--clip-grad-norm 1.0 --out benchmarks/ACCURACY_HARD_S3D.json")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["model"] == "s3d"
+    assert r["num_classes"] >= 50
+    assert r["clip_grad_norm"] > 0
+    # Measured 0.96 top-1 / 0.991 mAP (120 epochs, seed 0, v5e); 60 epochs
+    # reached 0.815 — the Inception stack converges slower from scratch
+    # than the residual family. Thresholds leave rerun margin.
+    assert r["top1"] >= 0.85, r
+    assert r["mAP"] >= 0.9, r
