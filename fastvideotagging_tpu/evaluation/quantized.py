@@ -42,16 +42,23 @@ def _resolved(model_name: str, float_blocks):
 
 
 def make_int8_engine(model_name: str, multilabel: bool = False,
-                     float_blocks=None, dynamic: bool = False):
+                     float_blocks=None, dynamic: bool | None = None):
     """-> jitted ``apply_fn(qpack, clips) -> scores``, built ONCE.
 
     The qpack is a traced argument, so one engine serves any number of
     (re)calibrations — rebuilding the jitted lambda per qpack would miss
     jax's jit cache and recompile the whole backbone each time (the
-    pitfall evaluate._make_apply documents)."""
+    pitfall evaluate._make_apply documents).
+
+    ``dynamic=None`` takes the SPEC's measured default: static calibrated
+    scales for the residual families (the requant fuses into the conv
+    epilogue — the 1.3x path), dynamic per-batch scales where statics
+    measurably lose accuracy (s3d: -3pp, benchmarks/INT8_S3D.json)."""
     from fastvideotagging_tpu.ops.int8_infer import int8_infer
 
     spec, fb = _resolved(model_name, float_blocks)
+    if dynamic is None:
+        dynamic = spec.default_dynamic
     return jax.jit(lambda q, x: heads.predict_scores(
         int8_infer(q, x, spec, float_blocks=fb, dynamic=dynamic),
         multilabel))
@@ -73,7 +80,7 @@ def quantize_for(model_name: str, variables: dict, calib_clips):
 
 def make_int8_apply(model_name: str, variables: dict, calib_clips,
                     multilabel: bool = False, float_blocks=None,
-                    dynamic: bool = False):
+                    dynamic: bool | None = None):
     """One-shot convenience: -> (qpack, jitted apply_fn(qpack, clips)).
 
     For repeated requantization (e.g. per-video self-calibration), build

@@ -53,7 +53,10 @@ def make_serving_fn(cfg: ExperimentConfig, variables: dict, qpack=None):
             out_dtype_name=cfg.model.compute_dtype,
         )
         if qpack is not None:
-            logits = int8_infer(qpack, clips, arch, float_blocks=tail)
+            # spec default: dynamic per-batch scales where static
+            # calibration measurably loses accuracy (s3d, INT8_S3D.json)
+            logits = int8_infer(qpack, clips, arch, float_blocks=tail,
+                                dynamic=arch.default_dynamic)
         else:
             logits = model.apply(variables, clips, train=False)
         return heads.predict_scores(logits, multilabel)

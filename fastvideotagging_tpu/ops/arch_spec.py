@@ -143,6 +143,11 @@ class ArchSpec:
     # streams pooled + concatenated (in order) before the head; empty ->
     # the linear single-stream walk on the implicit stream "x"
     head_streams: Tuple[str, ...] = ()
+    # int8 engine: default to DYNAMIC per-batch activation scales for this
+    # architecture (s3d: static calibrated scales measure 0.93 vs bf16's
+    # 0.96 top-1 on the hard benchmark — branch-site calibration drift;
+    # dynamic restores full parity, benchmarks/INT8_S3D.json)
+    default_dynamic: bool = False
 
 
 def iter_convs(spec: ArchSpec):
@@ -387,8 +392,10 @@ def s3d_spec() -> ArchSpec:
         inception("mixed5c"),
     ]
     # No residual structure -> no cancellation-amplified tail; every conv
-    # quantizes (parity gated by tests/test_int8_infer.py).
-    return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),))
+    # quantizes. default_dynamic: measured static-scale drift on branch
+    # sites costs 3pp top-1 (INT8_S3D.json) — dynamic is parity.
+    return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),),
+                    default_dynamic=True)
 
 
 def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
