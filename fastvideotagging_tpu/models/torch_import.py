@@ -16,6 +16,9 @@ Covered layouts (round 3 — VERDICT r2 item 7):
   TemporalSeparableConv / Conv3dNormActivation / SepInceptionBlock3D;
   1x1x1-conv classifier, which commutes with the head pooling and maps
   onto our Dense head exactly) -> models/s3d.py.
+* I3D — the canonical pytorch-i3d port of the DeepMind "Quo Vadis"
+  checkpoint (Unit3D/InceptionModule layout, TF-SAME padding) ->
+  models/i3d.py.
 
 Each converts the torch layout to this package's flax variables:
 
@@ -306,6 +309,44 @@ def convert_s3d_state_dict(state_dict: Mapping[str, object]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_i3d_state_dict(state_dict: Mapping[str, object]) -> dict:
+    """pytorch-i3d (the canonical DeepMind-checkpoint port) state_dict ->
+    flax variables (models/i3d.py).
+
+    Layout (documented in that repo): Unit3D modules named
+    ``Conv3d_1a_7x7`` / ``Conv3d_2b_1x1`` / ``Conv3d_2c_3x3``, nine
+    ``Mixed_Xx`` InceptionModules with branch units b0/b1a/b1b/b2a/b2b/b3b,
+    each holding ``<name>.conv3d.weight`` + ``<name>.bn.{weight,bias,
+    running_mean,running_var}``; the classifier is a biased 1x1x1
+    ``logits.conv3d`` which (linear, position-independent) commutes with
+    the head pooling onto our Dense ``fc`` (models/i3d.py head note).
+    """
+    sd = _StateDict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    def unit(t_prefix: str, f_path: tuple) -> None:
+        _set(params, f_path + ("conv", "kernel"),
+             np.transpose(sd.take(t_prefix + ".conv3d.weight"),
+                          (2, 3, 4, 1, 0)))
+        _bn(sd, t_prefix + ".bn", params, stats, f_path + ("bn",))
+
+    unit("Conv3d_1a_7x7", ("conv1",))
+    unit("Conv3d_2b_1x1", ("conv2",))
+    unit("Conv3d_2c_3x3", ("conv3",))
+    branches = {"b0": "b0", "b1a": "b1_reduce", "b1b": "b1_conv",
+                "b2a": "b2_reduce", "b2b": "b2_conv", "b3b": "b3_conv"}
+    for name in ("3b", "3c", "4b", "4c", "4d", "4e", "4f", "5b", "5c"):
+        for t_branch, f_branch in branches.items():
+            unit(f"Mixed_{name}.{t_branch}", (f"mixed{name}", f_branch))
+
+    w = sd.take("logits.conv3d.weight")  # (K, 1024, 1, 1, 1)
+    _set(params, ("fc", "kernel"), w.reshape(w.shape[0], w.shape[1]).T)
+    _set(params, ("fc", "bias"), sd.take("logits.conv3d.bias"))
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
 _CONVERTERS = {
     "r2plus1d_18": lambda sd: convert_r2plus1d_state_dict(sd, (2, 2, 2, 2)),
     "r2plus1d_34": lambda sd: convert_r2plus1d_state_dict(sd, (3, 4, 6, 3)),
@@ -316,6 +357,7 @@ _CONVERTERS = {
     "r3d_18": lambda sd: convert_videoresnet_state_dict(sd, (2, 2, 2, 2)),
     "mc3_18": lambda sd: convert_videoresnet_state_dict(sd, (2, 2, 2, 2)),
     "s3d": convert_s3d_state_dict,
+    "i3d": convert_i3d_state_dict,
 }
 
 

@@ -270,6 +270,15 @@ def _s3d_g(num_classes: int, **kw) -> nn.Module:
     return S3D(num_classes=num_classes, gating=True, **kw)
 
 
+@register("i3d")
+def _i3d(num_classes: int, **kw) -> nn.Module:
+    """Inflated 3D Inception, RGB stream (Carreira'17; pytorch-i3d layout)."""
+    from fastvideotagging_tpu.models.i3d import I3D
+
+    kw.pop("backend", None)  # full 3x3x3 convs; no factorized kernels
+    return I3D(num_classes=num_classes, **kw)
+
+
 @register("slowfast_r2plus1d")
 def _slowfast(num_classes: int, **kw) -> nn.Module:
     """Dual-pathway stretch config [B:11]; kwargs: alpha, beta, shard_axis."""

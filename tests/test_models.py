@@ -254,3 +254,35 @@ class TestS3D:
                                  (1, 8, 64, 64, 3))
         flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
         assert not any("gate" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+class TestI3D:
+    """I3D (Carreira'17 inflated Inception; pytorch-i3d layout)."""
+
+    def test_i3d_shapes_and_params(self):
+        model = get_model("i3d", num_classes=400)
+        variables = _init_shapes(model, (1, 16, 224, 224, 3))
+        logits = _apply_shape(model, variables, (2, 16, 224, 224, 3))
+        assert logits.shape == (2, 400)
+        assert logits.dtype == jnp.float32
+        # pytorch-i3d RGB @ 400 classes: 12.70M published params, exactly
+        assert _param_count(variables) == 12_697_264
+        assert variables["params"]["fc"]["kernel"].shape == (1024, 400)
+
+    def test_i3d_small_geometry(self):
+        # 64px inputs run via the global-mean head; T=8 -> T'=1 exercises
+        # the window-skip branch
+        model = get_model("i3d", num_classes=5)
+        variables = _init_shapes(model, (1, 8, 64, 64, 3))
+        logits = _apply_shape(model, variables, (1, 8, 64, 64, 3))
+        assert logits.shape == (1, 5)
+
+    def test_tf_same_padding_is_asymmetric(self):
+        # k=7 s=2 on an even dim: TF pads (2, 3) — a symmetric (3, 3) pad
+        # would shift the output grid by one pixel vs the DeepMind port
+        from fastvideotagging_tpu.models.i3d import _same_pads
+
+        assert _same_pads(224, 7, 2) == (2, 3)
+        assert _same_pads(223, 7, 2) == (3, 3)
+        assert _same_pads(8, 2, 2) == (0, 0)
+        assert _same_pads(56, 3, 2) == (0, 1)

@@ -631,3 +631,147 @@ def test_s3d_load_pretrained_cross_class(s3d_model_and_input, tmp_path):
         np.asarray(variables["params"]["stem"]["spatial"]["kernel"]),
         tm.state_dict()["features.0.0.0.weight"]
         .permute(2, 3, 4, 1, 0).numpy(), rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# I3D (pytorch-i3d Unit3D/InceptionModule layout, TF-SAME padding)
+# ---------------------------------------------------------------------------
+
+
+def _tf_same_pad(size, k, s):
+    out = -(-size // s)
+    pad = max((out - 1) * s + k - size, 0)
+    return (pad // 2, pad - pad // 2)
+
+
+def _same_pad_3d(x, k, s):
+    # F.pad order: (Wl, Wr, Hl, Hr, Tl, Tr)
+    pt = _tf_same_pad(x.shape[2], k[0], s[0])
+    ph = _tf_same_pad(x.shape[3], k[1], s[1])
+    pw = _tf_same_pad(x.shape[4], k[2], s[2])
+    return (pw[0], pw[1], ph[0], ph[1], pt[0], pt[1])
+
+
+class TorchUnit3D(nn.Module):
+    """pytorch-i3d Unit3D: TF-SAME-padded conv (no bias) + BN(1e-3) + ReLU."""
+
+    def __init__(self, cin, cout, k=(1, 1, 1), stride=(1, 1, 1)):
+        super().__init__()
+        self._k, self._s = k, stride
+        self.conv3d = nn.Conv3d(cin, cout, k, stride=stride, padding=0,
+                                bias=False)
+        self.bn = nn.BatchNorm3d(cout, eps=1e-3)
+
+    def forward(self, x):
+        x = torch.nn.functional.pad(x, _same_pad_3d(x, self._k, self._s))
+        return torch.relu(self.bn(self.conv3d(x)))
+
+
+def _maxpool_same(x, k, s):
+    # pytorch-i3d pads with 0; inputs are post-ReLU (>= 0) so this equals
+    # -inf padding
+    x = torch.nn.functional.pad(x, _same_pad_3d(x, k, s))
+    return torch.nn.functional.max_pool3d(x, k, s, padding=0)
+
+
+class TorchI3DInception(nn.Module):
+    def __init__(self, cin, c0, c1a, c1b, c2a, c2b, c3):
+        super().__init__()
+        self.b0 = TorchUnit3D(cin, c0)
+        self.b1a = TorchUnit3D(cin, c1a)
+        self.b1b = TorchUnit3D(c1a, c1b, (3, 3, 3))
+        self.b2a = TorchUnit3D(cin, c2a)
+        self.b2b = TorchUnit3D(c2a, c2b, (3, 3, 3))
+        self.b3b = TorchUnit3D(cin, c3)
+
+    def forward(self, x):
+        b1 = self.b1b(self.b1a(x))
+        b2 = self.b2b(self.b2a(x))
+        b3 = self.b3b(_maxpool_same(x, (3, 3, 3), (1, 1, 1)))
+        return torch.cat([self.b0(x), b1, b2, b3], dim=1)
+
+
+class TorchI3D(nn.Module):
+    """The pytorch-i3d layout (module/state-dict names match that repo).
+    The head AvgPool3d window is clipped to the feature extent like the
+    TorchS3D oracle (the repo's fixed (2, 7, 7) equals this at 224px)."""
+
+    def __init__(self, num_classes=7):
+        super().__init__()
+        self.Conv3d_1a_7x7 = TorchUnit3D(3, 64, (7, 7, 7), (2, 2, 2))
+        self.Conv3d_2b_1x1 = TorchUnit3D(64, 64)
+        self.Conv3d_2c_3x3 = TorchUnit3D(64, 192, (3, 3, 3))
+        self.Mixed_3b = TorchI3DInception(192, 64, 96, 128, 16, 32, 32)
+        self.Mixed_3c = TorchI3DInception(256, 128, 128, 192, 32, 96, 64)
+        self.Mixed_4b = TorchI3DInception(480, 192, 96, 208, 16, 48, 64)
+        self.Mixed_4c = TorchI3DInception(512, 160, 112, 224, 24, 64, 64)
+        self.Mixed_4d = TorchI3DInception(512, 128, 128, 256, 24, 64, 64)
+        self.Mixed_4e = TorchI3DInception(512, 112, 144, 288, 32, 64, 64)
+        self.Mixed_4f = TorchI3DInception(528, 256, 160, 320, 32, 128, 128)
+        self.Mixed_5b = TorchI3DInception(832, 256, 160, 320, 32, 128, 128)
+        self.Mixed_5c = TorchI3DInception(832, 384, 192, 384, 48, 128, 128)
+        self.logits = nn.Module()
+        self.logits.conv3d = nn.Conv3d(1024, num_classes, 1, bias=True)
+
+    def forward(self, x):
+        x = self.Conv3d_1a_7x7(x)
+        x = _maxpool_same(x, (1, 3, 3), (1, 2, 2))
+        x = self.Conv3d_2c_3x3(self.Conv3d_2b_1x1(x))
+        x = _maxpool_same(x, (1, 3, 3), (1, 2, 2))
+        x = self.Mixed_3c(self.Mixed_3b(x))
+        x = _maxpool_same(x, (3, 3, 3), (2, 2, 2))
+        for name in ("4b", "4c", "4d", "4e", "4f"):
+            x = getattr(self, f"Mixed_{name}")(x)
+        x = _maxpool_same(x, (2, 2, 2), (2, 2, 2))
+        x = self.Mixed_5c(self.Mixed_5b(x))
+        window = (min(2, x.shape[2]), x.shape[3], x.shape[4])
+        x = torch.nn.functional.avg_pool3d(x, window, stride=1)
+        x = self.logits.conv3d(x)
+        return torch.mean(x, dim=(2, 3, 4))
+
+
+@pytest.fixture(scope="module")
+def i3d_model_and_input():
+    gen = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        tm = TorchI3D(num_classes=7)
+        _randomize_bn_stats(tm, gen)
+        tm.eval()
+        # T=16 -> T'=2 (stem /2, two pool /2), exercising the head's
+        # temporal window-2 average; 64px input exercises the asymmetric
+        # TF-SAME stride-2 pads ((2,3) on even dims for k=7).
+        xt = torch.randn((1, 3, 16, 64, 64), generator=gen)
+        torch_logits = tm(xt)
+    return tm, xt, torch_logits
+
+
+def test_i3d_import_reproduces_torch_logits(i3d_model_and_input):
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_i3d_state_dict,
+    )
+
+    tm, xt, torch_logits = i3d_model_and_input
+    variables = convert_i3d_state_dict(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+    model = get_model("i3d", num_classes=7, dtype=jnp.float32, dropout=0.0)
+    x = jnp.asarray(np.transpose(xt.numpy(), (0, 2, 3, 4, 1)))
+    logits = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables, x)
+    np.testing.assert_allclose(np.asarray(logits), torch_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_i3d_strict_key_accounting(i3d_model_and_input):
+    from fastvideotagging_tpu.models.torch_import import (
+        convert_i3d_state_dict,
+    )
+
+    tm, _, _ = i3d_model_and_input
+    sd = dict(tm.state_dict())
+    missing = dict(sd)
+    del missing["Mixed_4d.b2b.conv3d.weight"]
+    with pytest.raises(KeyError, match="Mixed_4d.b2b"):
+        convert_i3d_state_dict(missing)
+    sd["extra.weight"] = sd["Conv3d_1a_7x7.conv3d.weight"]
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_i3d_state_dict(sd)
