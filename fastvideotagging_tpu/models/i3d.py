@@ -37,14 +37,7 @@ import jax.numpy as jnp
 
 from fastvideotagging_tpu.models.layers import BatchNorm, Conv3D
 from fastvideotagging_tpu.models.s3d import _INCEPTION_BLOCKS
-
-
-def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
-    """TF-SAME padding for one dim: out = ceil(size/s), pad split low-high
-    with the EXTRA pixel on the high side (TensorFlow semantics)."""
-    out = -(-size // s)
-    pad = max((out - 1) * s + k - size, 0)
-    return (pad // 2, pad - pad // 2)
+from fastvideotagging_tpu.ops.arch_spec import tf_same_pads as _same_pads
 
 
 def same_padding(x: jax.Array, window, strides) -> tuple:

@@ -59,6 +59,15 @@ from typing import Optional, Tuple
 # ---------------------------------------------------------------------------
 
 
+def tf_same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    """TF-SAME padding for one dim: out = ceil(size/s), the EXTRA pixel on
+    the high side (TensorFlow semantics; i3d). For stride 1 and odd k this
+    equals the symmetric k//2 — it only differs on strided even inputs."""
+    out = -(-size // s)
+    pad = max((out - 1) * s + k - size, 0)
+    return (pad // 2, pad - pad // 2)
+
+
 @dataclasses.dataclass(frozen=True)
 class Conv:
     site: str                      # input-site name (quantization point)
@@ -68,13 +77,17 @@ class Conv:
     bias: Optional[Tuple[str, ...]] = None  # path to a bias vector (C3D)
     relu: bool = True
     bn_eps: float = 1e-5  # folded into the requant affine (s3d uses 1e-3)
+    # None -> symmetric k//2 (torch/MXNet semantics, the package default);
+    # 'same_tf' -> TF-SAME computed from the traced input shape (i3d stem)
+    padding: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
 class MaxPool:
     window: Tuple[int, int, int]
     strides: Tuple[int, int, int]
-    # 'VALID' | 'SAME' | tuple of 3 (lo, hi) pairs over (T, H, W)
+    # 'VALID' | 'SAME' | 'SAME_TF' (shape-dependent, i3d) | tuple of 3
+    # (lo, hi) pairs over (T, H, W)
     padding: Tuple = "VALID"
 
 
@@ -398,6 +411,53 @@ def s3d_spec() -> ArchSpec:
                     default_dynamic=True)
 
 
+def i3d_spec() -> ArchSpec:
+    """I3D (models/i3d.py, pytorch-i3d geometry). The full-3D sibling of
+    s3d_spec: same Branches topology and widths with single kxkxk branch
+    convs, BN eps 1e-3, gap_t2 head. The stem conv and the stride-2
+    maxpools carry TF-SAME padding ('same_tf'/'SAME_TF', resolved from
+    the traced shape); every stride-1 odd-k conv's TF-SAME equals the
+    default symmetric k//2."""
+    EPS = 1e-3
+
+    def unit(site, path, k_strides=(1, 1, 1), padding=None):
+        return Conv(site, tuple(path) + ("conv", "kernel"), k_strides,
+                    bn=tuple(path) + ("bn",), bn_eps=EPS, padding=padding)
+
+    def inception(name):
+        b0 = (unit(f"{name}.in", (name, "b0")),)
+        b1 = (unit(f"{name}.in", (name, "b1_reduce")),
+              unit(f"{name}.b1", (name, "b1_conv")))
+        b2 = (unit(f"{name}.in", (name, "b2_reduce")),
+              unit(f"{name}.b2", (name, "b2_conv")))
+        b3 = (MaxPool((3, 3, 3), (1, 1, 1), padding="SAME_TF"),
+              unit(f"{name}.pool", (name, "b3_conv")))
+        return Branches((b0, b1, b2, b3))
+
+    nodes = [
+        unit("input", ("conv1",), (2, 2, 2), padding="same_tf"),
+        MaxPool((1, 3, 3), (1, 2, 2), padding="SAME_TF"),
+        unit("pool1", ("conv2",)),
+        unit("conv2.out", ("conv3",)),
+        MaxPool((1, 3, 3), (1, 2, 2), padding="SAME_TF"),
+        inception("mixed3b"),
+        inception("mixed3c"),
+        MaxPool((3, 3, 3), (2, 2, 2), padding="SAME_TF"),
+        inception("mixed4b"),
+        inception("mixed4c"),
+        inception("mixed4d"),
+        inception("mixed4e"),
+        inception("mixed4f"),
+        MaxPool((2, 2, 2), (2, 2, 2), padding="SAME_TF"),
+        inception("mixed5b"),
+        inception("mixed5c"),
+    ]
+    # No residual structure (same as s3d); dynamic default by analogy with
+    # the measured s3d branch-site calibration drift (INT8_S3D.json).
+    return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),),
+                    default_dynamic=True)
+
+
 def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
                   stage_blocks: Tuple[int, ...] = (1, 1, 1, 1)) -> ArchSpec:
     """SlowFast dual-pathway net (models/slowfast.py, zoo defaults).
@@ -489,6 +549,7 @@ _BUILDERS = {
     "mc3_18": lambda: videoresnet_spec(("3d", "no_t", "no_t", "no_t")),
     "slowfast_r2plus1d": slowfast_spec,
     "s3d": s3d_spec,
+    "i3d": i3d_spec,
 }
 
 # Every surface gating on engine coverage (Tagger, quantized glue, serving

@@ -12,7 +12,8 @@ engine here (bf16 reference, calibration, quantizer, int8 forward) is an
 interpreter over the declarative ``ops/arch_spec.ArchSpec`` IR, the single
 source of truth for block structure. R(2+1)D-18/34 (+ `_tpu`), P3D-63/131/
 199, C3D, r3d_18/mc3_18, the SlowFast dual-pathway net (via the
-multi-stream IR nodes) and S3D (via the Inception ``Branches`` node) all
+multi-stream IR nodes), and S3D + I3D (via the Inception ``Branches`` node;
+I3D's TF-SAME pads resolve from the traced shape) all
 quantize through the same code; numerics for
 r2plus1d are identical to the round-2 engine (same walk order, same site
 names, same epilogue math — the on-chip accuracy artifacts remain valid).
@@ -81,13 +82,23 @@ from fastvideotagging_tpu.ops.arch_spec import (
     conv_id,
     iter_convs,
     r2plus1d_spec,
+    tf_same_pads,
 )
 from fastvideotagging_tpu.ops.fused_block import fold_bn
 
 
-def _conv_i8(x, w, strides):
-    """int8 x int8 -> int32 conv, symmetric k//2 padding (layers semantics)."""
-    pad = tuple((k // 2, k // 2) for k in w.shape[:3])
+def _conv_pads(x, w, node: "Conv"):
+    """Per-dim pads for a spec conv: symmetric k//2 (default) or TF-SAME
+    resolved from the traced input shape ('same_tf', i3d stem)."""
+    if node.padding == "same_tf":
+        return tuple(tf_same_pads(x.shape[1 + i], w.shape[i],
+                                  node.strides[i]) for i in range(3))
+    return tuple((k // 2, k // 2) for k in w.shape[:3])
+
+
+def _conv_i8(x, w, strides, pads=None):
+    """int8 x int8 -> int32 conv, symmetric k//2 padding by default."""
+    pad = pads or tuple((k // 2, k // 2) for k in w.shape[:3])
     return lax.conv_general_dilated(
         x, w, window_strides=strides, padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -126,8 +137,8 @@ def _get(tree, path):
     return tree
 
 
-def _bf16_conv(x, kernel, strides):
-    pad = tuple((k // 2, k // 2) for k in kernel.shape[:3])
+def _bf16_conv(x, kernel, strides, pads=None):
+    pad = pads or tuple((k // 2, k // 2) for k in kernel.shape[:3])
     return lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=strides, padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -159,8 +170,12 @@ def _bn_of(variables, path, eps: float = 1e-5):
 
 
 def _maxpool(y, node):
-    padding = (((0, 0),) + tuple(node.padding) + ((0, 0),)
-               if not isinstance(node.padding, str) else node.padding)
+    padding = node.padding
+    if padding == "SAME_TF":
+        padding = tuple(tf_same_pads(y.shape[1 + i], node.window[i],
+                                     node.strides[i]) for i in range(3))
+    padding = (((0, 0),) + tuple(padding) + ((0, 0),)
+               if not isinstance(padding, str) else padding)
     return lax.reduce_window(
         y, jnp.asarray(-jnp.inf, y.dtype), lax.max,
         (1,) + node.window + (1,), (1,) + node.strides + (1,),
@@ -214,7 +229,8 @@ def spec_walk(spec: ArchSpec, variables, x, record):
 
     def conv(y, node: Conv):
         y = record(node.site, y)
-        z = _bf16_conv(y, _get(p, node.kernel), node.strides)
+        k = _get(p, node.kernel)
+        z = _bf16_conv(y, k, node.strides, pads=_conv_pads(y, k, node))
         if node.bn is not None:
             z = _affine(z, *_bn_of(variables, node.bn, node.bn_eps),
                         relu=node.relu)
@@ -467,7 +483,8 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
 
     def conv_q(q, s_dyn, node: Conv, out_f32=False):
         pack = qpack["convs"][conv_id(node)]
-        acc = _conv_i8(q, pack["w"], node.strides)
+        acc = _conv_i8(q, pack["w"], node.strides,
+                       pads=_conv_pads(q, pack["w"], node))
         y = (acc.astype(jnp.float32) * (pack["mul"] * s_dyn)
              + pack["add"])
         if node.relu:
@@ -483,7 +500,9 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
     def conv_f(xf, node: Conv):
         """bf16 conv with exactly-dequantized int8 weights + affine."""
         pack = qpack["convs"][conv_id(node)]
-        acc = _bf16_conv(xf.astype(jnp.bfloat16), deq_w(pack), node.strides)
+        w = deq_w(pack)
+        acc = _bf16_conv(xf.astype(jnp.bfloat16), w, node.strides,
+                         pads=_conv_pads(xf, w, node))
         return _affine(acc, pack["bn_scale"], pack["bn_bias"],
                        relu=node.relu)
 

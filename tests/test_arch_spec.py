@@ -38,6 +38,9 @@ CASES = [
     ("slowfast_r2plus1d", SHAPE, {}),
     # Inception branches through the Branches node; gap_t2 head; BN eps 1e-3
     ("s3d", SHAPE, {}),
+    # full-3D Inception + TF-SAME padding ('same_tf' stem conv, 'SAME_TF'
+    # pools) resolved from the traced shape
+    ("i3d", SHAPE, {}),
 ]
 
 
