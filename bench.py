@@ -314,6 +314,15 @@ def main():
 
     s3d_clips, s3d_roof = _safe(_s3d_row, (-1.0, -1.0), "s3d train step")
 
+    # I3D (Carreira'17, round 3f) — dense full-3D convs + stem temporal
+    # downsampling: the best roofline fraction in the zoo (0.64 measured).
+    def _i3d_row():
+        clips, _tf, _fl, sec, roof = bench_train_step(
+            batch_size, model_name="i3d")
+        return clips, (roof / sec if sec > 0 else -1.0)
+
+    i3d_clips, i3d_roof = _safe(_i3d_row, (-1.0, -1.0), "i3d train step")
+
     def _loader_row():
         from fastvideotagging_tpu.cli.bench_loader import measure
 
@@ -398,6 +407,8 @@ def main():
             "slowfast_roofline_fraction": round(sf_roof, 4),
             "s3d_clips_per_sec": round(s3d_clips, 2),
             "s3d_roofline_fraction": round(s3d_roof, 4),
+            "i3d_clips_per_sec": round(i3d_clips, 2),
+            "i3d_roofline_fraction": round(i3d_roof, 4),
             "host_decode_clips_per_sec": round(loader_clips, 2),
             "packed_loader_clips_per_sec": round(packed_clips, 2),
             "e2e_fit_clips_per_sec": round(e2e_clips, 2),
