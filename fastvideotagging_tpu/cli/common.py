@@ -68,6 +68,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="crop on the host before H2D (1.75x fewer shipped "
                         "bytes at 128x171->112x112, bit-identical pixels; "
                         "training path; needs frames shipped at resize_hw)")
+    p.add_argument("--cache-on-device", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="stage the whole .fvtpack into device HBM once and "
+                        "gather clips on-device — per-step H2D becomes a few "
+                        "KB of indices (needs a packed --train-list; "
+                        "bit-identical batches to the streaming loader)")
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -172,7 +178,7 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
         resize_hw=tuple(args.resize) if g("resize") else None,
         crop_hw=tuple(args.crop) if g("crop") else None,
         num_workers=g("num_workers"), cache_mb=g("cache_mb"),
-        host_crop=g("host_crop"),
+        host_crop=g("host_crop"), cache_on_device=g("cache_on_device"),
     )
     data = dataclasses.replace(data, sampler=sampler)
     model = _override(

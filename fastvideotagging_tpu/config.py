@@ -64,6 +64,12 @@ class DataConfig:
     # many MiB. Decode-once for small datasets/benchmarks; 0 (default) keeps
     # the streaming decode path (UCF101/Kinetics do not fit in RAM).
     cache_mb: int = 0
+    # Stage the WHOLE training pack into device HBM once and gather clips
+    # on-device — per-step H2D becomes a few KB of indices instead of the
+    # uint8 frame batch (data/device_cache.py). Requires a .fvtpack train
+    # source; UCF101-scale packs at ship geometry fit a v5e's 16 GB.
+    # Incompatible with host_crop (nothing left to crop on the host).
+    cache_on_device: bool = False
     sampler: ClipSamplerConfig = dataclasses.field(default_factory=ClipSamplerConfig)
 
 

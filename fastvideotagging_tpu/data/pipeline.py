@@ -171,18 +171,26 @@ class ClipDataset:
             frames = decode.read_frames_at(rec.path, frame_idx)
         return _ensure_size(frames, self.ship_hw)
 
-    def get_train(self, index: int, epoch: int) -> ClipSample:
-        """One training clip; deterministic in (seed, epoch, index)."""
+    def _sample_train(self, index: int, epoch: int, fetch: bool = True):
+        """Shared draw path of the train sampling: (record index, frame
+        indices, frames | None, top, left, flip), deterministic in
+        (seed, epoch, index) with the frozen draw order (clip start, crop
+        top, crop left, flip). ``fetch=False`` skips the pixel IO — the
+        index-only spec consumed by the HBM-resident device-cache tier
+        (data/device_cache.py); on mmap-backed PackedDatasets the fault
+        policy is identical either way (pack reads cannot raise), which is
+        why the device-cache tier is gated to packs."""
         s = self.cfg.sampler
         attempts = 0
         idx = index
         while True:
-            rec = self.records[idx % len(self.records)]
+            rec_i = idx % len(self.records)
+            rec = self.records[rec_i]
             rng = sampler.train_rng(self.seed, epoch, index)
             try:
                 n = self._num_frames(rec)
                 frame_idx = sampler.sample_train_indices(n, s.clip_len, s.stride, rng)
-                frames = self._clip_frames(rec, frame_idx)
+                frames = self._clip_frames(rec, frame_idx) if fetch else None
                 break
             except decode.DecodeError as e:
                 log.warning("skipping undecodable %s (%s)", rec.path, e)
@@ -194,6 +202,22 @@ class ClipDataset:
         ch, cw = self.cfg.crop_hw
         top, left = sampler.random_crop_offsets(rh, rw, ch, cw, rng)
         flip = bool(self.cfg.random_flip and rng.integers(0, 2))
+        return rec_i, frame_idx, frames, top, left, flip
+
+    def get_train_spec(self, index: int, epoch: int):
+        """Sampling decisions only, no pixel IO: (record index, frame
+        indices (T,), crop top, crop left, flip) — exactly the draws
+        ``get_train`` would make for the same (seed, epoch, index)."""
+        rec_i, frame_idx, _frames, top, left, flip = self._sample_train(
+            index, epoch, fetch=False)
+        return rec_i, frame_idx, top, left, flip
+
+    def get_train(self, index: int, epoch: int) -> ClipSample:
+        """One training clip; deterministic in (seed, epoch, index)."""
+        _rec_i, _frame_idx, frames, top, left, flip = self._sample_train(
+            index, epoch, fetch=True)
+        rec = self.records[_rec_i]
+        ch, cw = self.cfg.crop_hw
         if getattr(self.cfg, "host_crop", False):
             # Same draw, applied here: ship only the (ch, cw) window. The
             # device kernel then crops at (0, 0) from an identity resize —

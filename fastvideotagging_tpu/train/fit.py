@@ -133,7 +133,24 @@ def fit(
             start_epoch = int(extra.get("epoch", -1)) + 1
             log.info("resumed from step %d (epoch %d)", int(state.step), start_epoch)
 
-    step_fn = make_train_step(model, cfg)
+    use_device_cache = bool(getattr(d_cfg, "cache_on_device", False))
+    if use_device_cache:
+        from fastvideotagging_tpu.data.device_cache import build_cache
+        from fastvideotagging_tpu.data.packed import PackedDataset
+
+        if not isinstance(dataset, PackedDataset):
+            raise ValueError(
+                "cache_on_device=True needs a .fvtpack train source "
+                "(cli.prepare --pack); streaming records cannot be staged "
+                "into HBM")
+        cache = build_cache(dataset, mesh=mesh)
+        raw_step = make_train_step(model, cfg, device_cache=True)
+        # the cache rides as a TRACED argument every step (same buffer ->
+        # no transfer); closure capture would crash the remote compiler
+        step_fn = lambda s, b, r: raw_step(s, b, r, cache.frames)  # noqa: E731
+    else:
+        cache = None
+        step_fn = make_train_step(model, cfg)
     data_sh = batch_sharding(mesh)
     # Multi-host: each process decodes only the global-batch rows its
     # addressable devices own; global arrays are assembled per batch
@@ -164,7 +181,7 @@ def fit(
         state, global_step = _epoch_loop(
             cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
             global_step, start_epoch, eval_fn, stopper,
-            local_rows=local_rows)
+            local_rows=local_rows, cache=cache)
     ckpt.wait()
     mlog.close()
     return state
@@ -204,9 +221,22 @@ def _apply_pretrained(state: TrainState, variables: dict) -> TrainState:
 
 def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
                 global_step, start_epoch, eval_fn, stopper,
-                local_rows=None):
+                local_rows=None, cache=None):
     t_cfg, d_cfg = cfg.train, cfg.data
     nproc = jax.process_count()
+
+    def make_batches(epoch):
+        if cache is not None:
+            from fastvideotagging_tpu.data.device_cache import (
+                train_index_batches,
+            )
+
+            # index-only batches: a few KB per step; the pixels are already
+            # in HBM (the 'Fast' endpoint — zero per-step frame transfer)
+            return train_index_batches(dataset, cache, t_cfg.batch_size,
+                                       epoch, rows=local_rows)
+        return train_batches(dataset, t_cfg.batch_size, epoch,
+                             num_workers=d_cfg.num_workers, rows=local_rows)
 
     def stop_requested():
         # Multi-host, the stop decision must be COLLECTIVE: a signal lands on
@@ -227,8 +257,7 @@ def _epoch_loop(cfg, state, step_fn, dataset, data_sh, ckpt, mlog, rng,
         epoch_start = time.time()
         tic = time.time()
         batches = device_prefetch(
-            train_batches(dataset, t_cfg.batch_size, epoch,
-                          num_workers=d_cfg.num_workers, rows=local_rows),
+            make_batches(epoch),
             sharding=data_sh, depth=d_cfg.prefetch_depth,
             global_batch=t_cfg.batch_size if local_rows is not None else None,
             rows=local_rows,

@@ -34,11 +34,21 @@ def make_train_step(
     model,
     cfg: ExperimentConfig,
     donate: bool = True,
+    device_cache: bool = False,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step: (state, batch, dropout_rng) -> (state, metrics).
 
     batch: frames uint8 (B,T,H,W,3), labels int32 (B,) or multihot f32 (B,K),
     crop_tops/crop_lefts int32 (B,), flips bool (B,), weights f32 (B,).
+
+    ``device_cache=True`` (the HBM-resident pack tier, data/device_cache.py):
+    the step takes a fourth argument — the staged (total_frames, H, W, 3)
+    uint8 cache — and the batch carries ``rows`` (B, T) int32 cache-row
+    indices instead of ``frames``; the clip pixels are gathered on-device
+    (one leading-axis row gather) so the per-step H2D is a few KB of
+    indices. The cache MUST be a traced argument, never a jit-closure
+    capture (GB-scale closure constants crash the remote compile service —
+    CLAUDE.md trap).
     """
     d = cfg.data
     multilabel = cfg.model.multilabel
@@ -50,9 +60,11 @@ def make_train_step(
     # (crop_hw -> crop_hw) identity and the kernel only applies flip+norm.
     resize_hw = d.crop_hw if getattr(d, "host_crop", False) else d.resize_hw
 
-    def loss_fn(params, batch_stats, batch, dropout_rng):
+    def loss_fn(params, batch_stats, batch, dropout_rng, cache_frames=None):
+        frames = (cache_frames[batch["rows"]] if device_cache
+                  else batch["frames"])
         clips = preprocess_batch(
-            batch["frames"], batch["crop_tops"], batch["crop_lefts"],
+            frames, batch["crop_tops"], batch["crop_lefts"],
             batch["flips"], mean, std,
             resize_hw=resize_hw, crop_hw=d.crop_hw,
             out_dtype_name=compute_dtype,
@@ -71,10 +83,11 @@ def make_train_step(
         # norm='group' models have no batch_stats collection at all
         return loss, (logits, mutated.get("batch_stats", batch_stats))
 
-    def step(state: TrainState, batch: dict, dropout_rng: jax.Array):
+    def _step(state: TrainState, batch: dict, dropout_rng: jax.Array,
+              cache_frames=None):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, dropout_rng)
+        )(state.params, state.batch_stats, batch, dropout_rng, cache_frames)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         metrics = {"loss": loss}
@@ -84,11 +97,23 @@ def make_train_step(
             metrics["top1"] = (top1 * w).sum() / jnp.maximum(w.sum(), 1.0)
         return state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    donate_argnums = (0,) if donate else ()
+    if device_cache:
+        return jax.jit(_step, donate_argnums=donate_argnums)
+
+    def step(state: TrainState, batch: dict, dropout_rng: jax.Array):
+        return _step(state, batch, dropout_rng)
+
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_sample_batch(cfg: ExperimentConfig, batch_size: int | None = None) -> dict:
-    """A zeros batch with the config's exact shapes (for init / compile / dryrun)."""
+def make_sample_batch(cfg: ExperimentConfig, batch_size: int | None = None,
+                      device_cache: bool = False) -> dict:
+    """A zeros batch with the config's exact shapes (for init / compile / dryrun).
+
+    ``device_cache=True`` swaps the frames tensor for the (B, T) int32
+    cache-row index array of the HBM-resident tier (the caller supplies the
+    cache array itself to the step)."""
     d = cfg.data
     b = batch_size or cfg.train.batch_size
     t = d.sampler.clip_len
@@ -97,13 +122,16 @@ def make_sample_batch(cfg: ExperimentConfig, batch_size: int | None = None) -> d
     else:
         h, w = d.source_hw or d.resize_hw
     batch = {
-        "frames": jnp.zeros((b, t, h, w, 3), jnp.uint8),
         "labels": jnp.zeros((b,), jnp.int32),
         "crop_tops": jnp.zeros((b,), jnp.int32),
         "crop_lefts": jnp.zeros((b,), jnp.int32),
         "flips": jnp.zeros((b,), bool),
         "weights": jnp.ones((b,), jnp.float32),
     }
+    if device_cache:
+        batch["rows"] = jnp.zeros((b, t), jnp.int32)
+    else:
+        batch["frames"] = jnp.zeros((b, t, h, w, 3), jnp.uint8)
     if cfg.model.multilabel:
         batch["multihot"] = jnp.zeros((b, cfg.model.num_classes), jnp.float32)
     return batch

@@ -99,6 +99,76 @@ def parse_hlo(txt: str):
     return fus, comp_convs
 
 
+def _type_bytes(s: str) -> float:
+    """Bytes of an HLO type string; tuples sum their elements."""
+    total = 0.0
+    for m in re.finditer(r"([a-z0-9]+)\[([\d,]*)\]", s or ""):
+        n = float(_DTYPE_BYTES.get(m.group(1), 4))
+        if m.group(2):
+            for d in m.group(2).split(","):
+                n *= int(d)
+        total += n
+    return total
+
+
+def parse_fusion_bytes(txt: str) -> dict[str, float]:
+    """-> {instruction name: total operand+output bytes} for every fusion
+    (and custom-call) instruction of the ENTRY computation.
+
+    This is the honest per-fusion BYTE floor: a fusion kernel must read
+    each distinct operand once and write its output once, so
+    bytes / HBM-bandwidth lower-bounds its device time regardless of
+    emitter quality — the closure criterion PERF.md's temporal-kernel
+    analysis established at the op level, lifted to the compiled step's
+    actual fusion granularity. (Operands it can elide — broadcasted
+    scalars — are negligible at these tensor sizes.)
+    """
+    # entry computation body: from the "ENTRY" line to its closing brace
+    m = re.search(r"^ENTRY [^\n]*\{$", txt, re.M)
+    if not m:
+        return {}
+    body = txt[m.end():]
+    end = re.search(r"^\}", body, re.M)
+    body = body[:end.start()] if end else body
+
+    def strip_braces(s: str) -> str:
+        # layout/metadata brace groups carry parens (T(8,128)(2,1)) that
+        # would confuse the type/operand parsing — remove them first
+        prev = None
+        while prev != s:
+            prev, s = s, re.sub(r"\{[^{}]*\}", "", s)
+        return s
+
+    # signature parameter shapes: "name: TYPE" pairs on the ENTRY line
+    shapes: dict[str, str] = {}
+    for pm in re.finditer(r"([\w\.\-]+): ([a-z0-9]+\[[\d,]*\])",
+                          strip_braces(txt[m.start():m.end()])):
+        shapes[pm.group(1)] = pm.group(2)
+    lines = [strip_braces(ln) for ln in body.splitlines()]
+    for ln in lines:
+        im = re.match(r"^\s*(?:ROOT )?%?([\w\.\-]+) = (\(?[^)=]*?\)?)\s*"
+                      r"[\w\-]+\(", ln)
+        if im:
+            shapes[im.group(1)] = im.group(2).strip()
+    out: dict[str, float] = {}
+    for ln in lines:
+        fm = re.match(r"^\s*(?:ROOT )?%?([\w\.\-]+) = (\(?.*?\)?)\s*"
+                      r"(?:fusion|custom-call)\(([^)]*)\)", ln)
+        if not fm:
+            continue
+        name, otype, args = fm.groups()
+        total = _type_bytes(otype)
+        seen = set()
+        for am in re.finditer(r"%?([\w\.\-]+)", args):
+            a = am.group(1)
+            if a in seen:
+                continue
+            seen.add(a)
+            total += _type_bytes(shapes.get(a, ""))
+        out[name] = total
+    return out
+
+
 def conv_roofline_seconds(hlo_text: str, peak_flops: float,
                           mem_bw: float) -> tuple[float, float, int]:
     """Textbook op-level conv roofline of a compiled step.
@@ -148,12 +218,18 @@ def load_trace_durations(trace_dir: str, n_steps: int):
 
 
 def attribute(dur, fus, comp_convs, top: int = 30,
-              peak_flops: float = 197e12, mem_bw: float = 819e9):
+              peak_flops: float = 197e12, mem_bw: float = 819e9,
+              fus_bytes: dict | None = None):
     """-> (rows sorted by time, category totals).
 
-    Row: (us, TF/s, roofline_us, op, convs) — roofline_us is the summed
-    per-conv max(FLOP-time, byte-time) floor of the convs inside the fusion
-    (0 for conv-free fusions); us - roofline_us is the fusion's slack."""
+    Row: (us, TF/s, roofline_us, op, convs) — roofline_us is the fusion's
+    honest floor: max(conv FLOP time, total fusion operand+output bytes /
+    HBM bandwidth) when ``fus_bytes`` is given (parse_fusion_bytes), else
+    the summed per-conv max(FLOP-time, byte-time) of the convs inside it
+    (0 for conv-free fusions); us - roofline_us is the fusion's slack —
+    the time an ideal emitter could still recover at the compiler's chosen
+    fusion granularity."""
+    fus_bytes = fus_bytes or {}
     rows = []
     cat = collections.defaultdict(float)
     for name, d in dur.items():
@@ -164,6 +240,9 @@ def attribute(dur, fus, comp_convs, top: int = 30,
         fl = sum(c[2] for c in convs)
         roof_us = sum(max(c[2] / peak_flops, c[3] / mem_bw)
                       for c in convs) * 1e6
+        if name in fus_bytes:
+            roof_us = max(fl / peak_flops * 1e6,
+                          fus_bytes[name] / mem_bw * 1e6)
         rows.append((d, fl / d / 1e6 if (d > 0 and fl) else 0.0,
                      roof_us, op or name, convs))
         key = "other"
@@ -180,7 +259,9 @@ def attribute(dur, fus, comp_convs, top: int = 30,
                 key = ("bwd_" if bwd else "fwd_") + "elementwise/other"
         cat[key] += d
     rows.sort(key=lambda r: -r[0])
-    return rows[:top], dict(sorted(cat.items(), key=lambda kv: -kv[1]))
+    # ALL rows (callers slice for display): the closure sum over every
+    # traced fusion needs the full set, not the top-N
+    return rows, dict(sorted(cat.items(), key=lambda kv: -kv[1]))
 
 
 def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
@@ -225,6 +306,7 @@ def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
 
     hlo = jax.jit(step).lower(state, batch, rng).compile().as_text()
     fus, comp_convs = parse_hlo(hlo)
+    fus_bytes = parse_fusion_bytes(hlo)
 
     def sync(s):
         leaf = jax.tree.leaves(s.params)[0]
@@ -241,7 +323,7 @@ def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
         sync(s)
 
     dur = load_trace_durations(trace_dir, n_steps)
-    return attribute(dur, fus, comp_convs)
+    return attribute(dur, fus, comp_convs, fus_bytes=fus_bytes)
 
 
 def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
@@ -273,6 +355,7 @@ def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
 
     hlo = step.lower(variables, x0).compile().as_text()
     fus, comp_convs = parse_hlo(hlo)
+    fus_bytes = parse_fusion_bytes(hlo)
 
     def sync(x):
         float(jnp.asarray(x.reshape(-1)[0], jnp.float32))
@@ -285,7 +368,7 @@ def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
             c = step(variables, c)
         sync(c)
     dur = load_trace_durations(trace_dir, n_steps)
-    return attribute(dur, fus, comp_convs)
+    return attribute(dur, fus, comp_convs, fus_bytes=fus_bytes)
 
 
 def main(argv=None):
@@ -312,11 +395,18 @@ def main(argv=None):
     print(f"== categories ({total / 1e3:.1f} ms/step) ==")
     for k, v in cat.items():
         print(f"{v / 1e3:8.2f} ms  {100 * v / total:5.1f}%  {k}")
+    # Closure summary: Σ per-fusion honest floors (max(conv FLOP time,
+    # operand+output bytes / HBM bw)) over EVERY traced fusion = the
+    # fastest any emitter could run this step at XLA's chosen fusion
+    # granularity. measured/floor per fusion answers "is the remaining
+    # gap emitter slack or inherent byte traffic?" fusion by fusion.
     roof = sum(r[2] for r in rows)
     slack = sorted(rows, key=lambda r: -(r[0] - r[2]))
-    print(f"\nconv roofline of traced fusions: {roof / 1e3:.1f} ms "
-          f"(slack {max(total - roof, 0.0) / 1e3:.1f} ms)")
-    print("\n== largest slack (measured - conv roofline) ==")
+    print(f"\nhonest per-fusion floor of the traced step: {roof / 1e3:.1f} "
+          f"ms (measured {total / 1e3:.1f} ms -> emitter/overhead slack "
+          f"{max(total - roof, 0.0) / 1e3:.1f} ms, floor/measured = "
+          f"{roof / total:.2f})" if total else "(no device events)")
+    print("\n== largest slack (measured - honest fusion floor) ==")
     for d, rate, roof_us, op, convs in slack[:args.top]:
         short = (op.replace("jit(step)/jit(step)/", "")
                  .replace("transpose(jvp(", "BWD(")
