@@ -80,6 +80,11 @@ class Conv:
     # None -> symmetric k//2 (torch/MXNet semantics, the package default);
     # 'same_tf' -> TF-SAME computed from the traced input shape (i3d stem)
     padding: Optional[str] = None
+    # S3D-G self-gating (models/s3d.py SepConv): params path to a Dense
+    # {kernel, bias}; the conv output is scaled per-channel by
+    # sigmoid(Dense(f32 spatiotemporal mean of the output)). Data-dependent
+    # like dynamic amax; the engines apply it as an f32 epilogue.
+    gate: Optional[Tuple[str, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -348,9 +353,8 @@ def videoresnet_spec(stage_conv_types: Tuple[str, ...] = ("3d",) * 4,
                     default_float_blocks=tail)
 
 
-def s3d_spec() -> ArchSpec:
-    """S3D (models/s3d.py, torchvision geometry; gating=False only —
-    S3D-G's data-dependent per-channel gate is not a conv epilogue).
+def s3d_spec(gating: bool = False) -> ArchSpec:
+    """S3D / S3D-G (models/s3d.py, torchvision geometry).
 
     Separable convs are (1xkxk, bn_s, relu) -> (kx1x1, bn_t, relu) pairs;
     the nine SepInception blocks are ``Branches`` nodes whose b0/b1/b2
@@ -358,16 +362,24 @@ def s3d_spec() -> ArchSpec:
     torchvision S3D value), folded via Conv.bn_eps. Head: gap_t2 (f32
     spatial mean, temporal window-2 stride-1 mean, temporal mean) —
     models/s3d.py head note.
+
+    ``gating=True`` (S3D-G): every separable conv's temporal factor
+    carries the per-channel self-gate (Conv.gate -> the SepConv's Dense
+    params); the engines run it as an f32 epilogue after the requant
+    affine — data-dependent, exactly like the dynamic amax pass the int8
+    engine already performs per site.
     """
     EPS = 1e-3
 
     def sep(key_prefix, path, s=1):
-        """SepConv: spatial (1,s,s) + bn_s, temporal (s,1,1) + bn_t."""
+        """SepConv: spatial (1,s,s) + bn_s, temporal (s,1,1) + bn_t
+        (+ the S3D-G self-gate on the temporal output when gating)."""
         return (
             Conv(f"{key_prefix}.s_in", tuple(path) + ("spatial", "kernel"),
                  (1, s, s), bn=tuple(path) + ("bn_s",), bn_eps=EPS),
             Conv(f"{key_prefix}.t_in", tuple(path) + ("temporal", "kernel"),
-                 (s, 1, 1), bn=tuple(path) + ("bn_t",), bn_eps=EPS),
+                 (s, 1, 1), bn=tuple(path) + ("bn_t",), bn_eps=EPS,
+                 gate=tuple(path) + ("gate",) if gating else None),
         )
 
     def inception(name):
@@ -549,6 +561,7 @@ _BUILDERS = {
     "mc3_18": lambda: videoresnet_spec(("3d", "no_t", "no_t", "no_t")),
     "slowfast_r2plus1d": slowfast_spec,
     "s3d": s3d_spec,
+    "s3d_g": lambda: s3d_spec(gating=True),
     "i3d": i3d_spec,
 }
 

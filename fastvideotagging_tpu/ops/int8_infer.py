@@ -114,6 +114,20 @@ def _quant_w(w):
     return q, scale
 
 
+def _gate_id(node: "Conv") -> str:
+    return ".".join(node.gate)
+
+
+def _apply_gate(y, kernel, bias):
+    """S3D-G self-gate epilogue (models/s3d.py SepConv): scale y per
+    channel by sigmoid(Dense(f32 spatiotemporal mean of y)). Mirrors the
+    flax module exactly (f32 pool + dense, gate cast to y.dtype)."""
+    pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2, 3))
+    g = jax.nn.sigmoid(pooled @ kernel.astype(jnp.float32)
+                       + bias.astype(jnp.float32)).astype(y.dtype)
+    return y * g[:, None, None, None, :]
+
+
 def _dyn_quant(x, inv_f):
     """Smooth + dynamically quantize: x' = x * inv_f, s = amax|x'|/127.
 
@@ -238,6 +252,9 @@ def spec_walk(spec: ArchSpec, variables, x, record):
             bias = (_get(p, node.bias).astype(jnp.float32)
                     if node.bias is not None else 0.0)
             z = _affine(z, 1.0, bias, relu=node.relu)
+        if node.gate is not None:
+            g = _get(p, node.gate)
+            z = _apply_gate(z, g["kernel"], g["bias"])
         return z
 
     def chain(y, nodes):
@@ -424,6 +441,11 @@ def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
                   for k, v in factors.items()},
         "s_static": s_static,
         "convs": {conv_id(c): conv_pack(c) for _k, c in iter_convs(spec)},
+        # S3D-G self-gate Dense params (f32 epilogue; tiny — never quantized)
+        "gates": {_gate_id(c): {
+            "kernel": jnp.asarray(_get(p, c.gate)["kernel"], jnp.float32),
+            "bias": jnp.asarray(_get(p, c.gate)["bias"], jnp.float32)}
+            for _k, c in iter_convs(spec) if c.gate is not None},
         "head": [{"kernel": jnp.asarray(_get(p, d.param)["kernel"],
                                         jnp.float32),
                   "bias": jnp.asarray(_get(p, d.param)["bias"], jnp.float32)}
@@ -489,6 +511,9 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
              + pack["add"])
         if node.relu:
             y = jnp.maximum(y, 0.0)
+        if node.gate is not None:
+            g = qpack["gates"][_gate_id(node)]
+            y = _apply_gate(y, g["kernel"], g["bias"])
         return y if out_f32 else y.astype(jnp.bfloat16)
 
     def deq_w(pack):
@@ -503,8 +528,12 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
         w = deq_w(pack)
         acc = _bf16_conv(xf.astype(jnp.bfloat16), w, node.strides,
                          pads=_conv_pads(xf, w, node))
-        return _affine(acc, pack["bn_scale"], pack["bn_bias"],
-                       relu=node.relu)
+        y = _affine(acc, pack["bn_scale"], pack["bn_bias"],
+                    relu=node.relu)
+        if node.gate is not None:
+            g = qpack["gates"][_gate_id(node)]
+            y = _apply_gate(y, g["kernel"], g["bias"])
+        return y
 
     def chain_q(y, nodes, q_first=None):
         """int8 chain; q_first short-circuits an already-quantized input

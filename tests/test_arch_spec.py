@@ -38,6 +38,9 @@ CASES = [
     ("slowfast_r2plus1d", SHAPE, {}),
     # Inception branches through the Branches node; gap_t2 head; BN eps 1e-3
     ("s3d", SHAPE, {}),
+    # S3D-G: the data-dependent per-channel self-gate as an f32 Conv.gate
+    # epilogue on every separable conv's temporal factor
+    ("s3d_g", SHAPE, {}),
     # full-3D Inception + TF-SAME padding ('same_tf' stem conv, 'SAME_TF'
     # pools) resolved from the traced shape
     ("i3d", SHAPE, {}),
@@ -164,6 +167,26 @@ def test_slowfast_stream_structure():
     assert fuses[-1].conv.site == "fast.out"
     assert spec.head_streams == ("slow", "fast")
     assert set(spec.default_float_blocks) == {"slow_s3_b0", "fast_s3_b0"}
+
+
+def test_s3d_g_gate_structure():
+    """S3D-G = S3D topology + a gate on EVERY separable conv's temporal
+    factor (stem, conv3, every b1_sep/b2_sep) and nowhere else; the gate
+    path sits next to the conv's params (models/s3d.py SepConv layout)."""
+    spec = spec_for("s3d_g")
+    base = spec_for("s3d")
+    convs = [c for _k, c in iter_convs(spec)]
+    base_convs = [c for _k, c in iter_convs(base)]
+    assert len(convs) == len(base_convs)
+    gated = [c for c in convs if c.gate is not None]
+    # 2 stem-level sep convs (stem, conv3) + 9 blocks x 2 (b1_sep, b2_sep)
+    assert len(gated) == 2 + 9 * 2
+    for c in gated:
+        assert c.kernel[-2:] == ("temporal", "kernel")
+        assert c.gate == c.kernel[:-2] + ("gate",)
+    # spatial factors and 1x1x1 convs never gate
+    assert all(c.gate is None for c in convs
+               if c.kernel[-2:] != ("temporal", "kernel"))
 
 
 def test_p3d_block_cycle_structure():
