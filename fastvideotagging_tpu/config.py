@@ -162,6 +162,24 @@ PRESETS = {
         model=ModelConfig(name="r2plus1d_18", num_classes=101),
         train=TrainConfig(batch_size=32),
     ),
+    # [B:2] UCF101 top-1 PARITY protocol — the reference's de-facto
+    # validation (SURVEY.md §5): official split lists (testlist01.txt has
+    # no ids; classInd.txt maps the directory prefix), 128x171 resize ->
+    # center 112x112 crop, 10 uniformly spaced eval clips per video,
+    # video-level top-1 over fixed-order f32 score averaging. The day a
+    # real UCF101 tree is mounted, the parity number is ONE command:
+    #   python -m fastvideotagging_tpu.cli.evaluate --preset ucf101_parity \
+    #     --data-root <UCF101 root> --val-list <.../testlist01.txt> \
+    #     --class-index <.../classInd.txt> --checkpoint-dir <ckpts>
+    # (protocol smoke-tested on a synthetic stand-in tree with the real
+    # directory layout: tests/test_ucf101_parity.py; MIGRATION.md §parity)
+    "ucf101_parity": ExperimentConfig(
+        model=ModelConfig(name="r2plus1d_18", num_classes=101),
+        data=DataConfig(
+            sampler=ClipSamplerConfig(clip_len=16, eval_mode="uniform",
+                                      num_eval_clips=10)),
+        train=TrainConfig(batch_size=32),
+    ),
     # [B:9] P3D-63 / R(2+1)D-34 on Kinetics-400: 32x224x224, multi-clip eval.
     "p3d63_kinetics": ExperimentConfig(
         model=ModelConfig(name="p3d_63", num_classes=400),
