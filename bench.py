@@ -353,16 +353,22 @@ def main():
             # bit-identical pixels (tests/test_host_crop.py)
             row_hc = run(num_videos=256, frames_per_video=20, epochs=3,
                          log_every=4, smoke=False, host_crop=True)
+            # device_cache=True: the whole pack staged into HBM once,
+            # per-step H2D = KBs of indices — e2e == bare step even behind
+            # this tunnel (measured 0.925, E2E_TRAIN.json device_cache row)
+            row_dc = run(num_videos=256, frames_per_video=20, epochs=3,
+                         log_every=4, smoke=False, device_cache=True)
         # h2d_bound: the transport ceiling for this batch geometry. On a
         # dev tunnel (~30 MiB/s) it, not the framework, caps e2e; e2e at or
         # above the bound means the pipeline fully overlaps H2D with compute.
         return (row["e2e_clips_per_sec_median"],
                 row["first_window_clips_per_sec"],
                 row.get("h2d_bound_clips_per_sec", -1.0),
-                row_hc["e2e_clips_per_sec_median"])
+                row_hc["e2e_clips_per_sec_median"],
+                row_dc["e2e_clips_per_sec_median"])
 
-    e2e_clips, e2e_first, e2e_h2d, e2e_hc = _safe(
-        _e2e_row, (-1.0, -1.0, -1.0, -1.0), "e2e fit")
+    e2e_clips, e2e_first, e2e_h2d, e2e_hc, e2e_dc = _safe(
+        _e2e_row, (-1.0, -1.0, -1.0, -1.0, -1.0), "e2e fit")
 
     peak = _detect_peak_tflops()
     peak_frac = achieved_tflops / peak if peak else 0.0
@@ -415,6 +421,7 @@ def main():
             "e2e_fit_first_window_clips_per_sec": round(e2e_first, 2),
             "e2e_h2d_bound_clips_per_sec": round(e2e_h2d, 2),
             "e2e_fit_host_crop_clips_per_sec": round(e2e_hc, 2),
+            "e2e_fit_device_cache_clips_per_sec": round(e2e_dc, 2),
             "batch_size": batch_size,
             "device": jax.devices()[0].device_kind,
         },

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         base_lr: float = 0.05, seed: int = 0, root: str | None = None,
         keep_data: bool = False, model_name: str = "r2plus1d_18",
-        clip_grad_norm: float = 0.0) -> dict:
+        clip_grad_norm: float = 0.0, norm: str = "batch") -> dict:
     import numpy as np
 
     from fastvideotagging_tpu.config import (
@@ -57,7 +57,7 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
     cfg = ExperimentConfig(
         # The REAL flagship backbone, reduced input resolution (8x32x32).
         model=ModelConfig(name=model_name, num_classes=num_classes,
-                          dropout=0.0),
+                          dropout=0.0, norm=norm),
         data=DataConfig(source_hw=(48, 48), resize_hw=(40, 40),
                         crop_hw=(32, 32), random_flip=False,
                         num_workers=8, cache_mb=1024,  # whole set ~300 MiB
@@ -100,6 +100,7 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         "mAP": round(mean_average_precision(scores, onehot), 4),
         "chance_top1": round(1.0 / num_classes, 4),
         "clip_grad_norm": clip_grad_norm,
+        "norm": norm,
         "gen_seconds": round(gen_s, 1),
         "train_seconds": round(train_s, 1),
         "eval_seconds": round(eval_s, 1),
@@ -218,6 +219,9 @@ def main(argv=None):
                    help="zoo name (e.g. r2plus1d_18_tpu) for the single-label run")
     p.add_argument("--clip-grad-norm", type=float, default=0.0,
                    help="global-norm grad clip (required for s3d)")
+    p.add_argument("--norm", default="batch",
+                   help="ModelConfig.norm for the single-label run "
+                        "(batch|frozen|group|scaleonly)")
     args = p.parse_args(argv)
     if args.multilabel:
         result = run_multilabel(
@@ -227,7 +231,7 @@ def main(argv=None):
         result = run(args.classes or 50, args.epochs or 40, args.batch,
                      args.lr or 0.05, args.seed, args.root,
                      model_name=args.model,
-                     clip_grad_norm=args.clip_grad_norm)
+                     clip_grad_norm=args.clip_grad_norm, norm=args.norm)
     line = json.dumps(result, indent=2)
     print(line)
     if args.out:

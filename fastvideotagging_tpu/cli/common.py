@@ -43,10 +43,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                help="--no-multilabel overrides a preset's True")
     p.add_argument("--dropout", type=float, default=None)
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
-    p.add_argument("--norm", choices=["batch", "frozen", "group"],
+    p.add_argument("--norm",
+                   choices=["batch", "frozen", "group", "scaleonly"],
                    default=None,
                    help="normalization: batch (faithful) | frozen (BN-lite) "
-                        "| group")
+                        "| group | scaleonly (stats-free affine + weight "
+                        "standardization — the TPU training mode)")
     p.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
                    default=None)
     # data

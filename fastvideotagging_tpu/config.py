@@ -88,6 +88,9 @@ class ModelConfig:
     # 'frozen' -> BN-lite: running averages always; removes the batch-stats
     #             passes from the train step (+15% measured on v5e)
     # 'group'  -> GroupNorm, batch-independent, no running stats
+    # 'scaleonly' -> learned per-channel affine, no normalization statistics
+    #             at all — the TPU training mode (PERF.md round-4: removes
+    #             the BN-stat passes that cap the `_tpu` variant's step)
     norm: str = "batch"
 
 

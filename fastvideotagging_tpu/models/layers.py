@@ -45,6 +45,25 @@ def mxu_aligned_mid_channels(cin: int, cout: int, kt: int = 3, kd: int = 3) -> i
     return max(128, int(round(m / 128)) * 128)
 
 
+def scaled_ws(kernel: jax.Array, gain: float = 1.7139) -> jax.Array:
+    """Scaled weight standardization over the fan-in axes (NF-ResNets,
+    Brock et al. 2021): W' = gain * (W - mu) / sqrt(N * var + eps) per output
+    channel, N = fan-in, gain = sqrt(2/(1-1/pi)) for ReLU signal propagation.
+
+    The companion of norm='scaleonly': it restores the from-scratch
+    trainability that removing the normalization statistics costs (frozen-BN
+    from-scratch stalls — tests/test_norm_variants.py), at the price of a
+    per-step standardization of the KERNEL only — a tiny params-sized tensor,
+    invisible next to the activation passes the scaleonly mode deletes."""
+    axes = tuple(range(kernel.ndim - 1))
+    fan_in = 1
+    for d in kernel.shape[:-1]:
+        fan_in *= d
+    mu = jnp.mean(kernel, axis=axes, keepdims=True)
+    var = jnp.var(kernel, axis=axes, keepdims=True)
+    return gain * (kernel - mu) * lax.rsqrt(var * fan_in + 1e-8)
+
+
 def _triple(v) -> tuple[int, int, int]:
     if isinstance(v, int):
         return (v, v, v)
@@ -86,6 +105,7 @@ class Conv3D(nn.Module):
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.he_normal()
     shard_axis: str | None = None
+    ws: bool = False  # scaled weight standardization (norm='scaleonly' mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -101,6 +121,8 @@ class Conv3D(nn.Module):
             self.param_dtype,
         )
         kernel = nn.meta.unbox(kernel)
+        if self.ws:
+            kernel = scaled_ws(kernel)
         padding = (symmetric_padding((kt, kh, kw))
                    if self.padding == "SYM" else self.padding)
         y = lax.conv_general_dilated(
@@ -133,6 +155,7 @@ class SpatialConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.he_normal()
+    ws: bool = False  # scaled weight standardization (norm='scaleonly' mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -142,6 +165,8 @@ class SpatialConv(nn.Module):
             "kernel", self.kernel_init, (1, k, k, cin, self.features),
             self.param_dtype,
         )
+        if self.ws:
+            kernel = scaled_ws(kernel)
         if self.backend == "pallas":
             from fastvideotagging_tpu.ops import conv2plus1d
 
@@ -187,6 +212,7 @@ class TemporalConv(nn.Module):
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.he_normal()
     time_axis: str | None = None
+    ws: bool = False  # scaled weight standardization (norm='scaleonly' mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -196,6 +222,8 @@ class TemporalConv(nn.Module):
             "kernel", self.kernel_init, (k, 1, 1, cin, self.features),
             self.param_dtype,
         )
+        if self.ws:
+            kernel = scaled_ws(kernel)
         if self.time_axis is not None:
             from fastvideotagging_tpu.parallel.temporal import (
                 halo_temporal_conv,
@@ -253,6 +281,16 @@ class Norm(nn.Module):
       'batch', so checkpoints interchange.
     - 'group'  — GroupNorm (<=32 groups, channel-divisible), batch-size
       independent, no running statistics; train == eval.
+    - 'scaleonly' — learned per-channel affine y = x*scale + bias with NO
+      normalization statistics anywhere (no fwd mean/var reductions, no
+      running buffers, no bwd dmean/dvar passes). The TPU training mode for
+      the `*_tpu` variants: the BN-statistics math is the largest non-conv
+      residue in the profiled `_tpu` step (PERF.md round-4 attribution —
+      4 bwd multiply-add passes over the 205 MB stage-1 mid activations plus
+      stat bytes carried by the bwd conv fusions). At init this is exactly
+      'frozen' (mean 0 / var 1), so the +15% frozen measurement is its floor.
+      Trains from scratch on residual nets at this depth (He init + warmup;
+      ACCURACY_HARD artifact is the parity evidence); train == eval.
     """
 
     kind: str = "batch"
@@ -261,9 +299,22 @@ class Norm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
+    # scaleonly only: initializer for the learned scale. Zero for the final
+    # affine of a residual branch ("SkipInit" — the block starts as identity,
+    # which is what makes the stats-free net trainable at depth).
+    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kind == "scaleonly":
+            c = x.shape[-1]
+            scale = self.param("scale", self.scale_init, (c,),
+                               jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,),
+                              jnp.float32)
+            y = (x.astype(self.dtype) * scale.astype(self.dtype)
+                 + bias.astype(self.dtype))
+            return y
         if self.kind == "group":
             return nn.GroupNorm(
                 num_groups=_num_groups(x.shape[-1]),

@@ -46,14 +46,16 @@ class Conv2Plus1D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ws = self.norm == "scaleonly"  # stats-free mode standardizes kernels
         x = SpatialConv(self.mid_features, 3, stride=self.spatial_stride,
-                        backend=self.backend, dtype=self.dtype, name="spatial")(x)
+                        backend=self.backend, dtype=self.dtype, ws=ws,
+                        name="spatial")(x)
         x = BatchNorm(kind=self.norm, use_running_average=not train,
                       dtype=self.dtype, axis_name=self.bn_axis_name,
                       name="bn_mid")(x)
         x = nn.relu(x)
         x = TemporalConv(self.features, 3, stride=self.temporal_stride,
-                         backend=self.backend, dtype=self.dtype,
+                         backend=self.backend, dtype=self.dtype, ws=ws,
                          time_axis=self.time_axis, name="temporal")(x)
         return x
 
@@ -73,10 +75,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cin = x.shape[-1]
-        bn = lambda name: BatchNorm(  # noqa: E731
+        bn = lambda name, **kw: BatchNorm(  # noqa: E731
             kind=self.norm, use_running_average=not train, dtype=self.dtype,
-            axis_name=self.bn_axis_name, name=name,
+            axis_name=self.bn_axis_name, name=name, **kw,
         )
+        ws = self.norm == "scaleonly"
         residual = x
         y = Conv2Plus1D(
             self.features, self.mid_channels_fn(cin, self.features),
@@ -90,11 +93,15 @@ class BasicBlock(nn.Module):
             backend=self.backend, dtype=self.dtype, norm=self.norm,
             time_axis=self.time_axis, name="conv2",
         )(y, train)
-        y = bn("bn2")(y)
+        # scaleonly: zero-init the branch's final scale (SkipInit) — the
+        # block is an identity at init, which replaces BN's depth-stabilizing
+        # role for from-scratch training.
+        y = bn("bn2", **({"scale_init": nn.initializers.zeros}
+                         if ws else {}))(y)
         if self.stride != 1 or cin != self.features:
             residual = Conv3D(self.features, (1, 1, 1),
                               strides=(self.stride, self.stride, self.stride),
-                              dtype=self.dtype, name="downsample")(x)
+                              dtype=self.dtype, ws=ws, name="downsample")(x)
             residual = bn("bn_down")(residual)
         return nn.relu(y + residual)
 
@@ -107,7 +114,8 @@ class R2Plus1D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     # 'batch' (reference-faithful) | 'frozen' (BN-lite, +15% train step) |
-    # 'group' (GroupNorm) — see models.layers.Norm
+    # 'group' (GroupNorm) | 'scaleonly' (stats-free affine + scaled weight
+    # standardization + SkipInit — the TPU training mode) — models.layers.Norm
     norm: str = "batch"
     # When set, the model runs inside shard_map with the clip's T dim
     # sharded over this mesh axis: temporal convs halo-exchange over ICI
@@ -123,12 +131,13 @@ class R2Plus1D(nn.Module):
             kind=self.norm, use_running_average=not train, dtype=self.dtype,
             axis_name=self.bn_axis_name, name=name,
         )
+        ws = self.norm == "scaleonly"
         x = x.astype(self.dtype)
         # Stem: fixed 45 mid-channels (paper), spatial stride 2.
         x = SpatialConv(self.stem_mid, 7, stride=2, backend=self.backend,
-                        dtype=self.dtype, name="stem_spatial")(x)
+                        dtype=self.dtype, ws=ws, name="stem_spatial")(x)
         x = nn.relu(bn("stem_bn1")(x))
-        x = TemporalConv(64, 3, backend=self.backend, dtype=self.dtype,
+        x = TemporalConv(64, 3, backend=self.backend, dtype=self.dtype, ws=ws,
                          time_axis=self.time_axis, name="stem_temporal")(x)
         x = nn.relu(bn("stem_bn2")(x))
 

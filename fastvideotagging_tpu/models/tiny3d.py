@@ -27,12 +27,13 @@ class Tiny3D(nn.Module):
             kind=self.norm, use_running_average=not train, dtype=self.dtype,
             axis_name=self.bn_axis_name, name=name,
         )
+        ws = self.norm == "scaleonly"
         x = x.astype(self.dtype)
         x = Conv3D(self.width, (3, 3, 3), strides=(1, 2, 2), dtype=self.dtype,
-                   name="conv1")(x)
+                   ws=ws, name="conv1")(x)
         x = nn.relu(bn("bn1")(x))
         x = Conv3D(self.width * 2, (3, 3, 3), strides=(2, 2, 2),
-                   dtype=self.dtype, name="conv2")(x)
+                   dtype=self.dtype, ws=ws, name="conv2")(x)
         x = nn.relu(bn("bn2")(x))
         x = global_avg_pool_3d(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32,

@@ -335,7 +335,9 @@ def _calibrate_sites(variables, x, spec: ArchSpec):
     return sites
 
 
-def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2), spec=None):
+def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2), spec=None,
+              return_margins: bool = False, margin_base: float = 2.0,
+              margin_cap: float = 8.0):
     """-> {site: (C,) f32 per-channel activation absmax/127} over batches.
 
     Only used to derive the static smoothing factors (the activation
@@ -344,9 +346,21 @@ def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2), spec=None):
 
     `batches`: iterable of (B, T, H, W, 3) preprocessed clips (the same
     tensors the bf16 model consumes). ``spec`` selects the architecture
-    (default: r2plus1d with ``stage_blocks``, round-2 signature)."""
+    (default: r2plus1d with ``stage_blocks``, round-2 signature).
+
+    ``return_margins=True`` -> (scales, {site: static headroom multiplier})
+    for quantize_variables(static_margin=...). Per-site margin =
+    margin_base * (max over batches / median over batches) of the site's
+    batch absmax, clipped to [margin_base, margin_cap]: a site whose
+    maximum swings by r across calibration batches will plausibly exceed
+    the calibrated absmax by ~r on unseen data, so it gets r extra
+    headroom — while stable sites keep the base margin's precision. This
+    is the branch-site-aware STATIC calibration that recovers the
+    Inception families' parity without the dynamic amax pass (VERDICT r3
+    item 5; measured in benchmarks/INT8_INCEPTION.json)."""
     spec = spec or r2plus1d_spec(tuple(stage_blocks))
     maxima: dict[str, np.ndarray] = {}
+    per_batch: dict[str, list] = {}
 
     for x in batches:
         sites = jax.device_get(
@@ -354,7 +368,17 @@ def calibrate(variables, batches, stage_blocks=(2, 2, 2, 2), spec=None):
         for k, v in sites.items():
             v = np.asarray(v, np.float64)
             maxima[k] = v if k not in maxima else np.maximum(maxima[k], v)
-    return {k: np.maximum(v, 1e-12) / 127.0 for k, v in maxima.items()}
+            per_batch.setdefault(k, []).append(float(v.max()))
+    scales = {k: np.maximum(v, 1e-12) / 127.0 for k, v in maxima.items()}
+    if not return_margins:
+        return scales
+    margins = {}
+    for k, vals in per_batch.items():
+        arr = np.asarray(vals, np.float64)
+        spread = arr.max() / max(float(np.median(arr)), 1e-12)
+        margins[k] = float(np.clip(margin_base * spread,
+                                   margin_base, margin_cap))
+    return scales, margins
 
 
 # ---------------------------------------------------------------------------
@@ -392,15 +416,18 @@ def _smooth_factors(act_absmax, consumers):
 
 
 def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
-                       static_margin: float = 2.0, spec=None):
+                       static_margin=2.0, spec=None):
     """variables + calibration -> qpack consumed by ``int8_infer``.
 
     ``static_margin``: headroom multiplier on the calibrated static
     scales (the fast fused-requant path clips anything beyond the
     calibrated absmax; eval data routinely exceeds it — measured top-1
     0.875 / 0.965 / 0.97 at margin 1.0 / 1.5 / 2.0 vs bf16 0.97, so the
-    one-bit headroom of 2.0 restores full parity). Irrelevant to the
-    dynamic mode.
+    one-bit headroom of 2.0 restores full parity). A float applies
+    globally; a dict {site: float} (calibrate(return_margins=True)) gives
+    drift-prone sites extra headroom while stable sites keep the base
+    margin's precision — the site-aware static mode for the Inception
+    families. Irrelevant to the dynamic mode.
 
     qpack layout (round 3, spec-driven): ``{"convs": {conv_id: pack},
     "inv_f": {site: (C,)}, "s_static": {site: scalar}, "head": [...]}``.
@@ -432,9 +459,14 @@ def quantize_variables(variables, act_scales, stage_blocks=(2, 2, 2, 2),
 
     # static per-site scalar scales for the fused-requant fast path:
     # x' = x / f_c has calibrated absmax A_c / f_c; one scalar covers it
+    def _margin(site):
+        if isinstance(static_margin, dict):
+            return float(static_margin[site])
+        return float(static_margin)
+
     s_static = {site: jnp.float32(
         float(np.max(np.asarray(act_scales[site], np.float64) * 127.0
-                     / factors[site]) / 127.0) * static_margin)
+                     / factors[site]) / 127.0) * _margin(site))
         for site in factors}
     return {
         "inv_f": {k: jnp.asarray(1.0 / v, jnp.float32)
