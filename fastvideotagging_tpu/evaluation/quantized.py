@@ -68,12 +68,23 @@ def quantize_for(model_name: str, variables: dict, calib_clips):
     """-> qpack for make_int8_engine's apply_fn.
 
     ``calib_clips``: iterable of preprocessed (K, T, ch, cw, 3) clip
-    batches (e.g. ``preprocess_eval_clip`` outputs of a few videos)."""
+    batches (e.g. ``preprocess_eval_clip`` outputs of a few videos).
+
+    Specs with ``default_site_margins`` (the Inception families) get
+    branch-site-aware static headroom: per-site margins derived from the
+    calibration batches' absmax spread, so the STATIC engine holds the
+    accuracy dynamic mode was previously needed for
+    (benchmarks/INT8_INCEPTION.json)."""
     from fastvideotagging_tpu.ops.int8_infer import (
         calibrate, quantize_variables,
     )
 
     spec, _ = _resolved(model_name, None)
+    if spec.default_site_margins:
+        scales, margins = calibrate(variables, calib_clips, spec=spec,
+                                    return_margins=True)
+        return quantize_variables(variables, scales, spec=spec,
+                                  static_margin=margins)
     scales = calibrate(variables, calib_clips, spec=spec)
     return quantize_variables(variables, scales, spec=spec)
 

@@ -166,6 +166,13 @@ class ArchSpec:
     # 0.96 top-1 on the hard benchmark — branch-site calibration drift;
     # dynamic restores full parity, benchmarks/INT8_S3D.json)
     default_dynamic: bool = False
+    # int8 engine: calibrate per-site static headroom margins
+    # (calibrate(return_margins=True)) instead of the global 2.0 — the
+    # branch-site-aware STATIC mode. Sites whose calibration absmax swings
+    # across batches get proportionally more clip headroom, which recovers
+    # the Inception families' branch-site drift without the dynamic amax
+    # pass's throughput cost (measured: benchmarks/INT8_INCEPTION.json).
+    default_site_margins: bool = False
 
 
 def iter_convs(spec: ArchSpec):
@@ -417,10 +424,16 @@ def s3d_spec(gating: bool = False) -> ArchSpec:
         inception("mixed5c"),
     ]
     # No residual structure -> no cancellation-amplified tail; every conv
-    # quantizes. default_dynamic: measured static-scale drift on branch
-    # sites costs 3pp top-1 (INT8_S3D.json) — dynamic is parity.
+    # quantizes. Scheme history, all measured on a trained model: global
+    # static margin 2.0 drifts on branch sites (-3pp, INT8_S3D.json);
+    # round 3 defaulted to dynamic for parity (0.96) at a 23% throughput
+    # cost (5163 vs 6704 clips/s B=32 — the amax pass writes bf16 and
+    # re-reads twice instead of the 1-byte epilogue). Round 4's
+    # branch-site-aware static margins recover to 0.95 (within the 2pp
+    # serving gate) AT static speed, so they are the default; dynamic=True
+    # remains the exact-parity option (INT8_INCEPTION.json).
     return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),),
-                    default_dynamic=True)
+                    default_site_margins=True)
 
 
 def i3d_spec() -> ArchSpec:
@@ -464,8 +477,14 @@ def i3d_spec() -> ArchSpec:
         inception("mixed5b"),
         inception("mixed5c"),
     ]
-    # No residual structure (same as s3d); dynamic default by analogy with
-    # the measured s3d branch-site calibration drift (INT8_S3D.json).
+    # No residual structure (same as s3d). default_dynamic is MEASURED for
+    # this family (INT8_INCEPTION.json, round 4 — replacing round 3's
+    # s3d analogy): dynamic is exact bf16 parity (0.97 == 0.97; statics
+    # drift to 0.93 global / 0.925 site-aware) AND the fastest scheme
+    # (4310 vs 4058 static vs 3391 bf16 clips/s at B=32) — the dense
+    # full-3D convs are compute-bound (best roofline in the zoo), so the
+    # amax pass's extra bytes hide under MXU time instead of costing the
+    # 23% it costs the byte-bound s3d.
     return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),),
                     default_dynamic=True)
 

@@ -208,3 +208,41 @@ def test_bn_of_groupnorm_checkpoint_fails_with_reason():
     }
     with pytest.raises(ValueError, match="norm='batch'"):
         _bn_of(variables, ("stem", "s"))
+
+
+def test_calibrate_site_margins(model_and_vars, clips):
+    """Branch-site-aware static calibration (round 4): margins cover every
+    calibrated site, live in [base, cap], and identical batches (spread 1)
+    give exactly the base margin; a spiky site gets more headroom."""
+    _, variables = model_and_vars
+    scales_only = calibrate(variables, [clips, clips], STAGE_BLOCKS)
+    scales, margins = calibrate(variables, [clips, clips], STAGE_BLOCKS,
+                                return_margins=True)
+    assert set(margins) == set(scales) == set(scales_only)
+    for k in scales:
+        np.testing.assert_array_equal(np.asarray(scales[k]),
+                                      np.asarray(scales_only[k]))
+        assert margins[k] == 2.0  # identical batches -> spread exactly 1
+
+    # a 3x-hotter batch inflates the input site's spread -> larger margin
+    _, m2 = calibrate(variables, [clips, 3.0 * clips], STAGE_BLOCKS,
+                      return_margins=True)
+    assert m2["input"] > margins["input"]
+    assert all(2.0 <= v <= 8.0 for v in m2.values())  # [base, cap] clamp
+
+
+def test_quantize_variables_site_margin_dict(model_and_vars, clips):
+    """A {site: margin} dict scales each site's static requant scalar
+    independently; the engine runs unchanged on the resulting qpack."""
+    _, variables = model_and_vars
+    scales, margins = calibrate(variables, [clips, 0.5 * clips],
+                                STAGE_BLOCKS, return_margins=True)
+    q_global = quantize_variables(variables, scales, STAGE_BLOCKS,
+                                  static_margin=2.0)
+    q_site = quantize_variables(variables, scales, STAGE_BLOCKS,
+                                static_margin=margins)
+    for site, s in q_site["s_static"].items():
+        want = float(q_global["s_static"][site]) * margins[site] / 2.0
+        np.testing.assert_allclose(float(s), want, rtol=1e-6)
+    logits = np.asarray(r2plus1d_int8_infer(q_site, clips, STAGE_BLOCKS))
+    assert np.isfinite(logits).all()

@@ -157,8 +157,10 @@ def test_recorded_s3d_benchmark_meets_threshold():
 
 def test_recorded_s3d_int8_benchmark_meets_threshold():
     """The checked-in S3D int8 PTQ result (round 3f): dynamic scales hold
-    full bf16 parity on the Inception walk; statics lose ~3pp (branch-site
-    calibration drift) — which is WHY s3d_spec sets default_dynamic."""
+    full bf16 parity on the Inception walk; GLOBAL statics lose ~3pp
+    (branch-site calibration drift). Round 4 superseded the dynamic
+    default with branch-site-aware static margins — see
+    test_recorded_int8_inception_schemes."""
     path = os.path.join(REPO, "benchmarks", "INT8_S3D.json")
     assert os.path.exists(path), (
         "benchmarks/INT8_S3D.json missing — run "
@@ -172,7 +174,37 @@ def test_recorded_s3d_int8_benchmark_meets_threshold():
     assert r["int8_dynamic_top1"] >= r["bf16_top1"] - 0.02, r
     assert r["int8_top1"] >= 0.80, r
 
+
+def test_recorded_int8_inception_schemes():
+    """Round-4 measured int8 policy for the Inception families
+    (benchmarks/INT8_INCEPTION.json): the spec defaults must match what
+    the measurement says — s3d serves branch-site-aware STATIC margins
+    (top-1 within the 2pp gate at +30% throughput over the dynamic amax
+    pass); i3d serves DYNAMIC (exact parity AND fastest — the dense
+    full-3D net is compute-bound, the amax bytes hide under MXU time)."""
+    path = os.path.join(REPO, "benchmarks", "INT8_INCEPTION.json")
+    assert os.path.exists(path), (
+        "benchmarks/INT8_INCEPTION.json missing — run "
+        "python benchmarks/int8_inception.py "
+        "--out benchmarks/INT8_INCEPTION.json")
+    with open(path) as f:
+        rows = {r["model"]: r for r in json.load(f)["results"]}
+
     from fastvideotagging_tpu.ops.arch_spec import spec_for
 
-    assert spec_for("s3d").default_dynamic
+    s3d = rows["s3d"]
+    assert s3d["int8_static_site_top1"] >= s3d["bf16_top1"] - 0.02, s3d
+    assert (s3d["throughput"]["int8_static_clips_per_sec"]
+            > s3d["throughput"]["int8_dynamic_clips_per_sec"]), s3d
+    assert spec_for("s3d").default_site_margins
+    assert not spec_for("s3d").default_dynamic
+    assert spec_for("s3d_g").default_site_margins
+
+    i3d = rows["i3d"]
+    assert i3d["int8_dynamic_top1"] >= i3d["bf16_top1"] - 0.02, i3d
+    assert (i3d["throughput"]["int8_dynamic_clips_per_sec"]
+            > i3d["throughput"]["int8_static_clips_per_sec"]), i3d
+    assert spec_for("i3d").default_dynamic
+    assert not spec_for("i3d").default_site_margins
+
     assert not spec_for("r2plus1d_18").default_dynamic
