@@ -303,6 +303,17 @@ def main():
     sf_clips, sf_roof = _safe(_slowfast_row, (-1.0, -1.0),
                               "slowfast train step")
 
+    # slowfast_r2plus1d_tpu: time-to-channel packed fast pathway (round 4)
+    # — the faithful fast path's C=8..64 convs idle 50-94% of the MXU's
+    # result lanes; packing alpha frames into channels is the lane fix.
+    def _slowfast_tpu_row():
+        clips, _tf, _fl, sec, roof = bench_train_step(
+            batch_size, model_name="slowfast_r2plus1d_tpu")
+        return clips, (roof / sec if sec > 0 else -1.0)
+
+    sft_clips, sft_roof = _safe(_slowfast_tpu_row, (-1.0, -1.0),
+                                "slowfast_tpu train step")
+
     # S3D (Xie'18 separable-3D Inception, round 3f) at the UCF geometry —
     # the efficiency-family anchor (8.3M params vs r2plus1d's 33M). Trained
     # with grad clipping in practice (train/lr.py clip_grad_norm; the
@@ -411,6 +422,8 @@ def main():
             "frozen_bn_clips_per_sec": round(frozen_clips, 2),
             "slowfast_clips_per_sec": round(sf_clips, 2),
             "slowfast_roofline_fraction": round(sf_roof, 4),
+            "slowfast_tpu_clips_per_sec": round(sft_clips, 2),
+            "slowfast_tpu_roofline_fraction": round(sft_roof, 4),
             "s3d_clips_per_sec": round(s3d_clips, 2),
             "s3d_roofline_fraction": round(s3d_roof, 4),
             "i3d_clips_per_sec": round(i3d_clips, 2),

@@ -68,6 +68,26 @@ class SFBlock(nn.Module):
 
 
 class SlowFastR2Plus1D(nn.Module):
+    """``pack_fast=False``: the faithful dual-rate design (fast pathway at
+    full frame rate, 1/beta channels). ``pack_fast=True``: the
+    `slowfast_r2plus1d_tpu` variant — the fast pathway runs on a
+    TIME-TO-CHANNEL packed representation: ``alpha`` consecutive frames
+    fold into the channel dim ((N,T,H,W,C) -> (N,T/alpha,H,W,alpha*C)), so
+
+      * fast convs see ``alpha * C_fast`` channels (32/64/128/256 at the
+        defaults) instead of 8/16/32/64 — the faithful fast pathway's
+        6-50% MXU lane occupancy is the worst perf row in the repo
+        (PERF.md round-4 SlowFast attribution, BENCH_r03 0.2945);
+      * both pathways share the time axis (T/alpha == slow's T), so the
+        lateral connections become stride-free 3x1x1 convs;
+      * temporal mixing inside a packed frame group comes free from the
+        dense channel mixing; across groups from the 3-tap temporal convs
+        (12-frame receptive field at alpha=4).
+
+    Same macro-topology, stage count and lateral fusion points; NOT
+    weight-compatible with the faithful model (the r2plus1d `_tpu`
+    precedent). Accuracy parity: benchmarks/ACCURACY_HARD_SLOWFAST.json."""
+
     num_classes: int = 400
     alpha: int = 4          # temporal stride of the Slow pathway
     beta: int = 8           # Fast channel fraction: C_fast = C_slow / beta
@@ -77,6 +97,7 @@ class SlowFastR2Plus1D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     shard_axis: str | None = None  # e.g. "model" for channel parallelism
     bn_axis_name: str | None = None
+    pack_fast: bool = False  # the `_tpu` time-to-channel fast pathway
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -92,14 +113,26 @@ class SlowFastR2Plus1D(nn.Module):
         )
 
         slow = x[:, :: self.alpha]
-        fast = x
-
         cf = max(self.base_width // self.beta, 8)
+        # packed fast widths carry the alpha frames in channels
+        fmul = self.alpha if self.pack_fast else 1
+
         slow = Conv3D(self.base_width, (1, 7, 7), strides=(1, 2, 2),
                       name="slow_stem", **kw)(slow)
         slow = nn.relu(bn("slow_stem_bn")(slow))
-        fast = Conv3D(cf, (5, 7, 7), strides=(1, 2, 2),
-                      name="fast_stem", **kw)(fast)
+        if self.pack_fast:
+            n, t, h, w, c = x.shape
+            fast = x.reshape(n, t // self.alpha, self.alpha, h, w, c)
+            fast = jnp.moveaxis(fast, 2, 4).reshape(
+                n, t // self.alpha, h, w, self.alpha * c)
+            # 3-tap temporal stem over packed groups spans 3*alpha frames
+            # (the faithful 5x7x7 stem sees 5) — receptive field grows,
+            # rate of temporal information is identical (nothing dropped)
+            fast = Conv3D(cf * fmul, (3, 7, 7), strides=(1, 2, 2),
+                          name="fast_stem", **kw)(fast)
+        else:
+            fast = Conv3D(cf, (5, 7, 7), strides=(1, 2, 2),
+                          name="fast_stem", **kw)(x)
         fast = nn.relu(bn("fast_stem_bn")(fast))
         slow = self._fuse(slow, fast, cf, 0, bn)
 
@@ -112,7 +145,8 @@ class SlowFastR2Plus1D(nn.Module):
                                shard_axis=self.shard_axis,
                                bn_axis_name=self.bn_axis_name,
                                name=f"slow_s{stage}_b{b}")(slow, train)
-                fast = SFBlock(wf, spatial_stride=stride, dtype=self.dtype,
+                fast = SFBlock(wf * fmul, spatial_stride=stride,
+                               dtype=self.dtype,
                                shard_axis=self.shard_axis,
                                bn_axis_name=self.bn_axis_name,
                                name=f"fast_s{stage}_b{b}")(fast, train)
@@ -128,9 +162,16 @@ class SlowFastR2Plus1D(nn.Module):
         return logits.astype(jnp.float32)
 
     def _fuse(self, slow, fast, cf, idx, bn):
-        """Lateral fast->slow: time-strided conv to 2*cf ch, concat on C."""
-        lat = Conv3D(2 * cf, (5, 1, 1), strides=(self.alpha, 1, 1),
-                     dtype=self.dtype, shard_axis=self.shard_axis,
-                     name=f"lateral{idx}")(fast)
+        """Lateral fast->slow: conv to 2*cf ch, concat on C. Faithful:
+        time-strided 5x1x1 (stride alpha) aligns the rates; packed: the
+        rates already match, a stride-free 3x1x1 suffices."""
+        if self.pack_fast:
+            lat = Conv3D(2 * cf, (3, 1, 1), strides=(1, 1, 1),
+                         dtype=self.dtype, shard_axis=self.shard_axis,
+                         name=f"lateral{idx}")(fast)
+        else:
+            lat = Conv3D(2 * cf, (5, 1, 1), strides=(self.alpha, 1, 1),
+                         dtype=self.dtype, shard_axis=self.shard_axis,
+                         name=f"lateral{idx}")(fast)
         lat = nn.relu(bn(f"lateral{idx}_bn")(lat))
         return jnp.concatenate([slow, lat], axis=-1)

@@ -287,3 +287,20 @@ def _slowfast(num_classes: int, **kw) -> nn.Module:
     kw.pop("backend", None)  # uses full-3D convs for the sharded GEMMs
     _require_batch_norm(kw, "slowfast_r2plus1d")
     return SlowFastR2Plus1D(num_classes=num_classes, **kw)
+
+
+@register("slowfast_r2plus1d_tpu")
+def _slowfast_tpu(num_classes: int, **kw) -> nn.Module:
+    """MXU-aligned SlowFast: time-to-channel packed fast pathway.
+
+    The faithful fast pathway's C=8..64 convs leave 50-94% of the MXU's
+    128 result lanes idle (worst perf row in BENCH_r03, 0.29 of conv
+    roofline); packing alpha frames into channels runs the same pathway
+    at 4x the lane occupancy and makes the laterals stride-free. Same
+    macro-topology; not weight-compatible (the r2plus1d `_tpu`
+    precedent). See models/slowfast.py docstring + PERF.md round 4."""
+    from fastvideotagging_tpu.models.slowfast import SlowFastR2Plus1D
+
+    kw.pop("backend", None)
+    _require_batch_norm(kw, "slowfast_r2plus1d_tpu")
+    return SlowFastR2Plus1D(num_classes=num_classes, pack_fast=True, **kw)
