@@ -95,7 +95,7 @@ def _trace_attribute(step, x0, n_steps: int = 3,
         for _ in range(n_steps):
             c = step(c)
         sync(c)
-    dur = load_trace_durations(trace_dir, n_steps)
+    dur, _steps, _dev_us = load_trace_durations(trace_dir, n_steps)
 
     cat: dict[str, float] = {"conv_s8": 0.0, "conv_float": 0.0,
                              "quantize_pass_s8out": 0.0, "other": 0.0}

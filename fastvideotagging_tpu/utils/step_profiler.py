@@ -111,17 +111,96 @@ def _type_bytes(s: str) -> float:
     return total
 
 
+# type[dims]{perm:T(s,l)...} — dims, layout permutation, and tile (optional)
+_SHAPE_RE = re.compile(
+    r"([a-z0-9]+)\[([\d,]*)\]"
+    r"(?:\{([\d,]*)(?::[^}]*?T\((\d+),(\d+)\))?[^}]*\})?")
+
+
+def _type_bytes_padded(s: str) -> float:
+    """PHYSICAL bytes of an HLO type string: each array padded to its
+    layout tile (``{perm:T(sub,lane)}``). TPU buffers are tiled in HBM —
+    a ``bf16[...,64]`` array under the (8,128) tile occupies (and
+    transfers) 2x its logical bytes because the minor dimension pads to
+    the 128-lane vreg width. Tuples sum their elements; shapes without a
+    tile annotation fall back to logical bytes."""
+    total = 0.0
+    for m in _SHAPE_RE.finditer(s or ""):
+        dtype, dims_s, perm_s, sub_s, lane_s = m.groups()
+        n = float(_DTYPE_BYTES.get(dtype, 4))
+        dims = [int(d) for d in dims_s.split(",")] if dims_s else []
+        if dims and perm_s and sub_s:
+            perm = [int(d) for d in perm_s.split(",")]
+            sub, lane = int(sub_s), int(lane_s)
+            # HLO layouts list dims MINOR-to-major: perm[0] is the minor
+            # dim (padded to `lane`), perm[1] the second-minor (to `sub`)
+            pad = dict.fromkeys(range(len(dims)), 1)
+            if len(perm) >= 1:
+                pad[perm[0]] = lane
+            if len(perm) >= 2:
+                pad[perm[1]] = sub
+            for i, d in enumerate(dims):
+                p = pad.get(i, 1)
+                n *= -(-d // p) * p
+        else:
+            for d in dims:
+                n *= d
+        total += n
+    return total
+
+
+def _split_instr(ln: str):
+    """'%name = TYPE opcode(args), ...' -> (name, type_str, opcode, args)
+    or None. Handles tuple types and layout annotations (whose `T(8,128)`
+    parens would defeat naive regex splitting) by balanced-paren scanning:
+    a non-tuple type is one whitespace-free token; a tuple type runs from
+    '(' to its balanced ')'."""
+    m = re.match(r"^\s*(?:ROOT )?%?([\w\.\-]+) = ", ln)
+    if not m:
+        return None
+    name = m.group(1)
+    rest = ln[m.end():]
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += (ch == "(") - (ch == ")")
+            if depth == 0:
+                break
+        else:
+            return None
+        otype, rest = rest[:i + 1], rest[i + 1:]
+    else:
+        sp = rest.find(" ")
+        if sp < 0:
+            return None
+        otype, rest = rest[:sp], rest[sp:]
+    om = re.match(r"\s*([\w\-]+)\(", rest)
+    if not om:
+        return None
+    args = rest[om.end():]
+    depth = 1
+    for i, ch in enumerate(args):
+        depth += (ch == "(") - (ch == ")")
+        if depth == 0:
+            args = args[:i]
+            break
+    return name, otype, om.group(1), args
+
+
 def parse_fusion_bytes(txt: str) -> dict[str, float]:
-    """-> {instruction name: total operand+output bytes} for every fusion
-    (and custom-call) instruction of the ENTRY computation.
+    """-> {instruction name: total operand+output PHYSICAL bytes} for every
+    fusion (and custom-call) instruction of the ENTRY computation.
 
     This is the honest per-fusion BYTE floor: a fusion kernel must read
     each distinct operand once and write its output once, so
     bytes / HBM-bandwidth lower-bounds its device time regardless of
     emitter quality — the closure criterion PERF.md's temporal-kernel
     analysis established at the op level, lifted to the compiled step's
-    actual fusion granularity. (Operands it can elide — broadcasted
-    scalars — are negligible at these tensor sizes.)
+    actual fusion granularity. Bytes are TILE-PADDED (_type_bytes_padded):
+    TPU buffers are tiled in HBM, so a C=64-minor tensor under the
+    (8,128) tile physically moves 2x its logical bytes — that traffic is
+    real, not emitter slack. (Operands the emitter can elide —
+    broadcasted scalars — are negligible at these tensor sizes.)
     """
     # entry computation body: from the "ENTRY" line to its closing brace
     m = re.search(r"^ENTRY [^\n]*\{$", txt, re.M)
@@ -131,40 +210,31 @@ def parse_fusion_bytes(txt: str) -> dict[str, float]:
     end = re.search(r"^\}", body, re.M)
     body = body[:end.start()] if end else body
 
-    def strip_braces(s: str) -> str:
-        # layout/metadata brace groups carry parens (T(8,128)(2,1)) that
-        # would confuse the type/operand parsing — remove them first
-        prev = None
-        while prev != s:
-            prev, s = s, re.sub(r"\{[^{}]*\}", "", s)
-        return s
-
-    # signature parameter shapes: "name: TYPE" pairs on the ENTRY line
+    # signature parameter shapes (with layouts) from the ENTRY line
     shapes: dict[str, str] = {}
-    for pm in re.finditer(r"([\w\.\-]+): ([a-z0-9]+\[[\d,]*\])",
-                          strip_braces(txt[m.start():m.end()])):
+    for pm in re.finditer(
+            r"([\w\.\-]+): ([a-z0-9]+\[[\d,]*\](?:\{[^}]*\})?)",
+            txt[m.start():m.end()]):
         shapes[pm.group(1)] = pm.group(2)
-    lines = [strip_braces(ln) for ln in body.splitlines()]
-    for ln in lines:
-        im = re.match(r"^\s*(?:ROOT )?%?([\w\.\-]+) = (\(?[^)=]*?\)?)\s*"
-                      r"[\w\-]+\(", ln)
-        if im:
-            shapes[im.group(1)] = im.group(2).strip()
-    out: dict[str, float] = {}
-    for ln in lines:
-        fm = re.match(r"^\s*(?:ROOT )?%?([\w\.\-]+) = (\(?.*?\)?)\s*"
-                      r"(?:fusion|custom-call)\(([^)]*)\)", ln)
-        if not fm:
+    parsed = []
+    for ln in body.splitlines():
+        inst = _split_instr(ln)
+        if not inst:
             continue
-        name, otype, args = fm.groups()
-        total = _type_bytes(otype)
+        shapes[inst[0]] = inst[1]
+        parsed.append(inst)
+    out: dict[str, float] = {}
+    for name, otype, opcode, args in parsed:
+        if opcode not in ("fusion", "custom-call"):
+            continue
+        total = _type_bytes_padded(otype)
         seen = set()
         for am in re.finditer(r"%?([\w\.\-]+)", args):
             a = am.group(1)
             if a in seen:
                 continue
             seen.add(a)
-            total += _type_bytes(shapes.get(a, ""))
+            total += _type_bytes_padded(shapes.get(a, ""))
         out[name] = total
     return out
 
@@ -199,7 +269,16 @@ def conv_roofline_seconds(hlo_text: str, peak_flops: float,
 
 
 def load_trace_durations(trace_dir: str, n_steps: int):
-    """Aggregate 'XLA Ops'-track event durations (us per step) by name."""
+    """-> ({op name: us/step}, steps_captured, device_us_per_step).
+
+    Aggregates 'XLA Ops'-track event durations, normalized by the number
+    of module executions ACTUALLY captured on the 'XLA Modules' track —
+    NOT by the requested n_steps. Through the axon tunnel the trace
+    window routinely captures fewer executions than were dispatched
+    (measured 2026-08-19: 1 of 4 — dividing by n_steps then understates
+    every fusion 4x while wall time says otherwise). The module span's
+    own duration is the true device time per step, returned for
+    cross-checking against wall-clock measurements."""
     files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
     if not files:
         raise FileNotFoundError(f"no trace under {trace_dir}")
@@ -208,41 +287,171 @@ def load_trace_durations(trace_dir: str, n_steps: int):
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
     tid_names = {(e["pid"], e["tid"]): e["args"].get("name", "") for e in ev
                  if e.get("ph") == "M" and e.get("name") == "thread_name"}
-    dur: dict[str, float] = collections.defaultdict(float)
-    for e in ev:
-        if (e.get("ph") == "X" and "dur" in e
+
+    def on_tpu_track(e, track):
+        return (e.get("ph") == "X" and "dur" in e
                 and "TPU" in pid_names.get(e.get("pid"), "")
-                and tid_names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"):
-            dur[e["name"]] += e["dur"] / n_steps
-    return dur
+                and tid_names.get((e.get("pid"), e.get("tid"))) == track)
+
+    # the traced step program = the module with the most device time;
+    # its execution count is the honest normalizer
+    mods: dict[str, list] = collections.defaultdict(list)
+    for e in ev:
+        if on_tpu_track(e, "XLA Modules"):
+            mods[e["name"]].append(e["dur"])
+    steps = n_steps
+    dev_us = 0.0
+    if mods:
+        top = max(mods.values(), key=sum)
+        steps = len(top)
+        dev_us = sum(top) / steps
+    dur: dict[str, float] = collections.defaultdict(float)
+    info: dict[str, dict] = {}
+    for e in ev:
+        if on_tpu_track(e, "XLA Ops"):
+            dur[e["name"]] += e["dur"] / steps
+            a = e.get("args") or {}
+            if e["name"] not in info and ("long_name" in a or "tf_op" in a):
+                # the event's own executable-side metadata: exact FLOPs,
+                # the full typed instruction signature (floor bytes), and
+                # the op attribution — immune to the instruction-renaming
+                # that breaks HLO-text name matching (measured: the
+                # compiled as_text() numbering differs from the
+                # executable's for ~10% of fusions)
+                info[e["name"]] = {
+                    "flops": float(a.get("model_flops", 0) or 0),
+                    "long_name": a.get("long_name", ""),
+                    "tf_op": (a.get("tf_op") or "").rstrip(":"),
+                }
+    return dur, steps, dev_us, info
+
+
+_NON_HBM = re.compile(r"S\(\d+\)")  # S(1)=VMEM-staged, S(2)=SMEM scalars
+
+
+def _long_name_bytes(long_name: str, hbm_only: bool = True) -> float:
+    """Physical (tile-padded) operand+output bytes of a traced fusion's
+    ``long_name`` signature — '%f = TYPE fusion(T1 %a, T2 %b, ...), ...'.
+    Distinct operands only (a buffer read twice streams in once).
+
+    ``hbm_only``: skip shapes annotated with an alternate memory space
+    (``S(1)`` — XLA's memory-space assignment stages these into VMEM via
+    overlapped async copies, so the consumer reads them at VMEM, not HBM,
+    bandwidth; charging HBM for them double-counts the copy's traffic and
+    produces floors ABOVE measured time — observed on the _tpu step's
+    downsample convs, 628us floor vs 371us measured)."""
+    inst = _split_instr(long_name)
+    if not inst:
+        return 0.0
+    _name, otype, _opcode, args = inst
+
+    def shape_bytes(s: str) -> float:
+        if hbm_only and _NON_HBM.search(s):
+            # tuples mixing spaces: count only the HBM elements
+            return sum(_type_bytes_padded(m.group(0))
+                       for m in _SHAPE_RE.finditer(s)
+                       if not _NON_HBM.search(m.group(0)))
+        return _type_bytes_padded(s)
+
+    # tuple outputs: walk elements so per-element S() annotations apply
+    total = shape_bytes(otype)
+    seen = set()
+    for m in re.finditer(
+            r"([a-z0-9]+\[[\d,]*\](?:\{[^}]*\})?)\s+%([\w\.\-]+)", args):
+        if m.group(2) in seen:
+            continue
+        seen.add(m.group(2))
+        total += shape_bytes(m.group(1))
+    return total
 
 
 def attribute(dur, fus, comp_convs, top: int = 30,
               peak_flops: float = 197e12, mem_bw: float = 819e9,
-              fus_bytes: dict | None = None):
+              fus_bytes: dict | None = None, ev_info: dict | None = None):
     """-> (rows sorted by time, category totals).
 
     Row: (us, TF/s, roofline_us, op, convs) — roofline_us is the fusion's
-    honest floor: max(conv FLOP time, total fusion operand+output bytes /
-    HBM bandwidth) when ``fus_bytes`` is given (parse_fusion_bytes), else
-    the summed per-conv max(FLOP-time, byte-time) of the convs inside it
-    (0 for conv-free fusions); us - roofline_us is the fusion's slack —
-    the time an ideal emitter could still recover at the compiler's chosen
-    fusion granularity."""
+    honest floor: max(FLOP time, physical operand+output bytes / HBM
+    bandwidth). Sources, best first: the trace event's own metadata
+    (``ev_info`` from load_trace_durations — exact model_flops + the
+    typed long_name signature, immune to HLO-text renaming), then
+    ``fus_bytes`` (parse_fusion_bytes on the in-process HLO), then the
+    summed per-conv max(FLOP-time, byte-time) of the convs inside it.
+    Bytes are tile-padded (physical) and conv FLOP floors are MXU
+    lane-aware; us - roofline_us is the fusion's slack — the time an
+    ideal emitter could still recover at the compiler's chosen fusion
+    granularity."""
     fus_bytes = fus_bytes or {}
+    ev_info = ev_info or {}
     rows = []
     cat = collections.defaultdict(float)
+    async_bytes = 0.0  # overlapped DMA traffic (copy-start/slice-start)
+
+    def conv_flop_floor(c, is_bwd):
+        # MXU lane-aware FLOP floor: a conv whose OUTPUT channel count
+        # sits below the 128-lane MXU width leaves result lanes idle —
+        # a physical ceiling of peak * cout/128, not emitter slack
+        # (stage-1's C=64 shapes; round-2 lane-utilization analysis).
+        # Applies to FORWARD convs (cout IS the GEMM's N) and to dw convs
+        # (kernel-shaped output; measured 48 TF/s <= the bound) — but NOT
+        # to dx convs: the emitter demonstrably retiles those (stage-2 dx
+        # measured 146 TF/s with a C=64 output, 1.5x the naive bound), so
+        # for activation-shaped bwd outputs full peak is the only honest
+        # ceiling.
+        out_dims = _dims(c[0])
+        cout = out_dims[-1] if out_dims else 128
+        kernel_shaped = bool(out_dims) and out_dims[0] != out_dims[-1] \
+            and len(out_dims) == 5 and out_dims[0] <= 7 and out_dims[1] <= 7
+        if is_bwd and not kernel_shaped:
+            return c[2] / peak_flops  # dx
+        eff = peak_flops * min(cout, 128) / 128.0
+        return c[2] / eff
+
     for name, d in dur.items():
         if name.startswith("jit_"):
             continue
         calls, op = fus.get(name, (None, None))
         convs = comp_convs.get(calls, []) if calls else []
-        fl = sum(c[2] for c in convs)
-        roof_us = sum(max(c[2] / peak_flops, c[3] / mem_bw)
-                      for c in convs) * 1e6
-        if name in fus_bytes:
-            roof_us = max(fl / peak_flops * 1e6,
-                          fus_bytes[name] / mem_bw * 1e6)
+        ev = ev_info.get(name, {})
+        if ev.get("long_name") and not convs:
+            # renaming between as_text() and the executable: recover the
+            # called computation from the event's own signature
+            cm = re.search(r"calls=%([\w\.\-]+)", ev["long_name"])
+            if cm:
+                convs = comp_convs.get(cm.group(1), [])
+        if not op and ev.get("tf_op"):
+            op = ev["tf_op"]
+        fl = sum(c[2] for c in convs) or ev.get("flops", 0.0)
+        ln = ev.get("long_name", "")
+        inst = _split_instr(ln) if ln else None
+        opcode = inst[2] if inst else ""
+        if opcode.endswith("-start") or opcode.endswith("-done"):
+            # async DMA pair: the -start measures ~0 (fully overlapped
+            # with compute), the -done measures wait. Serialized floors
+            # don't apply; the moved bytes are background HBM pressure,
+            # aggregated once (at -start) and reported separately.
+            if opcode.endswith("-start"):
+                async_bytes += max(
+                    (_type_bytes_padded(m.group(0))
+                     for m in _SHAPE_RE.finditer(ln)
+                     if not _NON_HBM.search(m.group(0))), default=0.0)
+            rows.append((d, 0.0, 0.0, op or name, convs))
+            cat["async_dma"] += d
+            continue
+        if convs:
+            is_bwd = "transpose(" in (op or "")
+            flop_floor_us = sum(conv_flop_floor(c, is_bwd)
+                                for c in convs) * 1e6
+        else:
+            flop_floor_us = fl / peak_flops * 1e6
+        byte_floor_us = 0.0
+        if ln:
+            byte_floor_us = _long_name_bytes(ln) / mem_bw * 1e6
+        elif name in fus_bytes:
+            byte_floor_us = fus_bytes[name] / mem_bw * 1e6
+        elif convs:
+            byte_floor_us = sum(c[3] for c in convs) / mem_bw * 1e6
+        roof_us = max(flop_floor_us, byte_floor_us)
         rows.append((d, fl / d / 1e6 if (d > 0 and fl) else 0.0,
                      roof_us, op or name, convs))
         key = "other"
@@ -261,7 +470,8 @@ def attribute(dur, fus, comp_convs, top: int = 30,
     rows.sort(key=lambda r: -r[0])
     # ALL rows (callers slice for display): the closure sum over every
     # traced fusion needs the full set, not the top-N
-    return rows, dict(sorted(cat.items(), key=lambda kv: -kv[1]))
+    return (rows, dict(sorted(cat.items(), key=lambda kv: -kv[1])),
+            async_bytes)
 
 
 def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
@@ -322,8 +532,12 @@ def profile_train_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
             s, _ = step(s, batch, rng)
         sync(s)
 
-    dur = load_trace_durations(trace_dir, n_steps)
-    return attribute(dur, fus, comp_convs, fus_bytes=fus_bytes)
+    dur, steps, dev_us, ev_info = load_trace_durations(trace_dir, n_steps)
+    rows, cat, async_bytes = attribute(dur, fus, comp_convs,
+                                       fus_bytes=fus_bytes, ev_info=ev_info)
+    return rows, cat, {"steps_captured": steps,
+                       "device_us_per_step": dev_us,
+                       "async_dma_bytes": async_bytes}
 
 
 def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
@@ -367,8 +581,12 @@ def profile_eval_step(model_name: str = "r2plus1d_18", batch_size: int = 32,
         for _ in range(n_steps):
             c = step(variables, c)
         sync(c)
-    dur = load_trace_durations(trace_dir, n_steps)
-    return attribute(dur, fus, comp_convs, fus_bytes=fus_bytes)
+    dur, steps, dev_us, ev_info = load_trace_durations(trace_dir, n_steps)
+    rows, cat, async_bytes = attribute(dur, fus, comp_convs,
+                                       fus_bytes=fus_bytes, ev_info=ev_info)
+    return rows, cat, {"steps_captured": steps,
+                       "device_us_per_step": dev_us,
+                       "async_dma_bytes": async_bytes}
 
 
 def main(argv=None):
@@ -386,12 +604,21 @@ def main(argv=None):
                         "train step")
     args = p.parse_args(argv)
     if args.eval:
-        rows, cat = profile_eval_step(args.model, args.batch, args.clip_len,
-                                      args.crop)
+        rows, cat, info = profile_eval_step(args.model, args.batch,
+                                            args.clip_len, args.crop)
     else:
-        rows, cat = profile_train_step(args.model, args.batch, args.clip_len,
-                                       args.crop, norm=args.norm)
+        rows, cat, info = profile_train_step(args.model, args.batch,
+                                             args.clip_len, args.crop,
+                                             norm=args.norm)
     total = sum(cat.values())
+    print(f"trace: {info['steps_captured']} module execution(s) captured, "
+          f"device {info['device_us_per_step'] / 1e3:.1f} ms/step "
+          f"(ops sum {total / 1e3:.1f} ms)")
+    adma = info.get("async_dma_bytes", 0.0)
+    if adma:
+        print(f"async DMA (memory-space staging, overlapped): "
+              f"{adma / 2**20:.0f} MiB/step = {adma / 819e9 * 1e3:.1f} ms "
+              f"of background HBM traffic (not in per-fusion floors)")
     print(f"== categories ({total / 1e3:.1f} ms/step) ==")
     for k, v in cat.items():
         print(f"{v / 1e3:8.2f} ms  {100 * v / total:5.1f}%  {k}")
