@@ -127,10 +127,16 @@ class Dense:
 
 @dataclasses.dataclass(frozen=True)
 class Subsample:
-    """env[dst] = env[src][:, ::stride] — pathway split (SlowFast slow)."""
+    """env[dst] = env[src][:, ::stride] — pathway split (SlowFast slow).
+
+    ``pack`` > 1 additionally folds that many consecutive frames into the
+    channel dim ((N,T,H,W,C) -> (N,T/pack,H,W,pack*C)) AFTER the stride —
+    the `slowfast_r2plus1d_tpu` time-to-channel fast pathway
+    (models/slowfast.py pack_fast)."""
     src: str
     dst: str
     stride: int
+    pack: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -490,7 +496,8 @@ def i3d_spec() -> ArchSpec:
 
 
 def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
-                  stage_blocks: Tuple[int, ...] = (1, 1, 1, 1)) -> ArchSpec:
+                  stage_blocks: Tuple[int, ...] = (1, 1, 1, 1),
+                  pack_fast: bool = False) -> ArchSpec:
     """SlowFast dual-pathway net (models/slowfast.py, zoo defaults).
 
     Two streams over the input: ``slow`` = x[:, ::alpha] through wide
@@ -499,6 +506,11 @@ def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
     concatenates into slow after the stem and after every stage. Head:
     gap both streams, concat (slow first — the flax concat order), fc.
 
+    ``pack_fast=True`` is `slowfast_r2plus1d_tpu`: the fast stream is
+    time-to-channel packed (Subsample.pack=alpha) so both streams share
+    the time axis and the laterals are stride-free 3x1x1 convs — widths
+    change but the walk topology is identical (models/slowfast.py).
+
     Site sharing: the fast tensor at each fusion point feeds BOTH the
     lateral conv and the next fast block's entry — one site name, so the
     smoothing-consumers map sees both kernels. SFBlock downsample convs
@@ -506,10 +518,11 @@ def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
     below mirrors the flax module: slow cin grows by 2*wf per fusion).
     """
     cf = max(base_width // beta, 8)
+    lat_stride = (1, 1, 1) if pack_fast else (alpha, 1, 1)
 
     def lateral(idx: int, site: str) -> Fuse:
         return Fuse("fast", "slow",
-                    Conv(site, (f"lateral{idx}", "kernel"), (alpha, 1, 1),
+                    Conv(site, (f"lateral{idx}", "kernel"), lat_stride,
                          bn=(f"lateral{idx}_bn",)))
 
     def sf_block(key: str, s: int, cin: int, feats: int) -> Block:
@@ -526,19 +539,24 @@ def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
                 if (s != 1 or cin != feats) else None)
         return Block(key, main, down)
 
+    fmul = alpha if pack_fast else 1
     nodes = [
         Subsample("x", "slow", alpha),
-        Subsample("x", "fast", 1),
+        Subsample("x", "fast", 1, pack=fmul),
         Stream("slow", (Conv("slow.in", ("slow_stem", "kernel"), (1, 2, 2),
                              bn=("slow_stem_bn",)),)),
         Stream("fast", (Conv("fast.in", ("fast_stem", "kernel"), (1, 2, 2),
                              bn=("fast_stem_bn",)),)),
         lateral(0, "fast_s0_b0.in"),
     ]
-    slow_c, fast_c = base_width + 2 * cf, cf
+    slow_c, fast_c = base_width + 2 * cf, cf * fmul
     for stage, num_blocks in enumerate(stage_blocks):
         ws = base_width * (2 ** stage)
-        wf = max(ws // beta, 8)
+        # fast blocks carry fmul x channels when packed; the LATERAL still
+        # projects to 2 * the UNPACKED width, so the slow trunk's channel
+        # arithmetic is identical in both variants (models/slowfast.py)
+        wf_u = max(ws // beta, 8)
+        wf = wf_u * fmul
         slow_blocks, fast_blocks = [], []
         for b in range(num_blocks):
             s = 2 if (stage > 0 and b == 0) else 1
@@ -552,7 +570,7 @@ def slowfast_spec(alpha: int = 4, beta: int = 8, base_width: int = 64,
         last = stage == len(stage_blocks) - 1
         nodes.append(lateral(stage + 1, "fast.out" if last
                              else f"fast_s{stage + 1}_b0.in"))
-        slow_c = ws + 2 * wf
+        slow_c = ws + 2 * wf_u
     # bf16 tail by analogy with the measured r2plus1d register (the final
     # widest-stage residual blocks sit behind the same main-path/residual
     # cancellation); pending on-chip accuracy measurement for this family.
@@ -579,6 +597,7 @@ _BUILDERS = {
     "r3d_18": lambda: videoresnet_spec(("3d",) * 4),
     "mc3_18": lambda: videoresnet_spec(("3d", "no_t", "no_t", "no_t")),
     "slowfast_r2plus1d": slowfast_spec,
+    "slowfast_r2plus1d_tpu": lambda: slowfast_spec(pack_fast=True),
     "s3d": s3d_spec,
     "s3d_g": lambda: s3d_spec(gating=True),
     "i3d": i3d_spec,

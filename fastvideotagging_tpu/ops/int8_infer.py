@@ -12,7 +12,8 @@ engine here (bf16 reference, calibration, quantizer, int8 forward) is an
 interpreter over the declarative ``ops/arch_spec.ArchSpec`` IR, the single
 source of truth for block structure. R(2+1)D-18/34 (+ `_tpu`), P3D-63/131/
 199, C3D, r3d_18/mc3_18, the SlowFast dual-pathway net (via the
-multi-stream IR nodes), and S3D + I3D (via the Inception ``Branches`` node;
+multi-stream IR nodes; the `_tpu` packed-fast variant via ``Subsample.pack``),
+and S3D/S3D-G + I3D (via the Inception ``Branches`` node;
 I3D's TF-SAME pads resolve from the traced shape) all
 quantize through the same code; numerics for
 r2plus1d are identical to the round-2 engine (same walk order, same site
@@ -85,6 +86,18 @@ from fastvideotagging_tpu.ops.arch_spec import (
     tf_same_pads,
 )
 from fastvideotagging_tpu.ops.fused_block import fold_bn
+
+
+def _subsample(x, node):
+    """Subsample node semantics: time stride, then optional time-to-channel
+    packing (Subsample.pack — the slowfast_r2plus1d_tpu fast pathway)."""
+    y = x[:, ::node.stride]
+    k = getattr(node, "pack", 1)
+    if k > 1:
+        n, t, h, w, c = y.shape
+        y = y.reshape(n, t // k, k, h, w, c)
+        y = jnp.moveaxis(y, 2, 4).reshape(n, t // k, h, w, k * c)
+    return y
 
 
 def _conv_pads(x, w, node: "Conv"):
@@ -297,7 +310,7 @@ def spec_walk(spec: ArchSpec, variables, x, record):
     env = {"x": x.astype(jnp.bfloat16)}
     for node in spec.nodes:
         if isinstance(node, Subsample):
-            env[node.dst] = env[node.src][:, ::node.stride]
+            env[node.dst] = _subsample(env[node.src], node)
         elif isinstance(node, Stream):
             env[node.name] = run(env[node.name], node.nodes)
         elif isinstance(node, Fuse):
@@ -644,7 +657,7 @@ def int8_infer(qpack, x, spec: ArchSpec, float_blocks=None,
     env = {"x": x}
     for node in spec.nodes:
         if isinstance(node, Subsample):
-            env[node.dst] = env[node.src][:, ::node.stride]
+            env[node.dst] = _subsample(env[node.src], node)
         elif isinstance(node, Stream):
             env[node.name] = run(env[node.name], node.nodes)
         elif isinstance(node, Fuse):

@@ -36,6 +36,9 @@ CASES = [
     ("mc3_18", SHAPE, {}),
     # dual-pathway DAG through the multi-stream IR (clip_len % alpha == 0)
     ("slowfast_r2plus1d", SHAPE, {}),
+    # packed-fast variant: Subsample.pack time-to-channel + stride-free
+    # 3x1x1 laterals (round 4)
+    ("slowfast_r2plus1d_tpu", SHAPE, {}),
     # Inception branches through the Branches node; gap_t2 head; BN eps 1e-3
     ("s3d", SHAPE, {}),
     # S3D-G: the data-dependent per-channel self-gate as an f32 Conv.gate
