@@ -217,3 +217,24 @@ def test_r2plus1d_supports_all_norms():
         assert y.shape == (1, 5)
         has_stats = bool(jax.tree.leaves(variables.get("batch_stats", {})))
         assert has_stats == (norm not in ("group", "scaleonly"))
+
+
+def test_recorded_scaleonly_benchmark_meets_threshold():
+    """The checked-in full-scale scaleonly result: r2plus1d_18_tpu with
+    norm='scaleonly' (WS + SkipInit, stats-free) trains from scratch to
+    parity with batch norm on the 50-class hard benchmark — measured
+    0.975 top-1 / 0.986 mAP vs batch's 0.98 (ACCURACY_HARD_TPU_VARIANT).
+    Step-time it is NEUTRAL (SCALEONLY_STEP.json, PERF.md ROUND-4b)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks",
+        "ACCURACY_HARD_SCALEONLY.json")
+    if not os.path.exists(path):
+        pytest.skip("ACCURACY_HARD_SCALEONLY.json not recorded yet")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["model"] == "r2plus1d_18_tpu" and r["norm"] == "scaleonly"
+    assert r["top1"] >= 0.9, r
+    assert r["mAP"] >= 0.9, r

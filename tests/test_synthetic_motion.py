@@ -208,3 +208,58 @@ def test_recorded_int8_inception_schemes():
     assert not spec_for("i3d").default_site_margins
 
     assert not spec_for("r2plus1d_18").default_dynamic
+
+
+def test_recorded_slowfast_benchmarks_meet_thresholds():
+    """Round-4 SlowFast evidence: the faithful dual-pathway net trains to
+    r2plus1d-class accuracy (0.985 measured), and the packed `_tpu`
+    variant holds parity (0.98) while measuring FASTER in
+    SLOWFAST_STEP.json (+23% train / +25% serving — the time-to-channel
+    pack is the lane fix, PERF.md ROUND-4d)."""
+    for fname, model, floor in (
+            ("ACCURACY_HARD_SLOWFAST.json", "slowfast_r2plus1d", 0.9),
+            ("ACCURACY_HARD_SLOWFAST_TPU.json", "slowfast_r2plus1d_tpu",
+             0.9)):
+        path = os.path.join(REPO, "benchmarks", fname)
+        assert os.path.exists(path), (
+            f"benchmarks/{fname} missing — run "
+            f"python benchmarks/accuracy_hard.py --model {model} "
+            f"--epochs 80 --out benchmarks/{fname}")
+        with open(path) as f:
+            r = json.load(f)
+        assert r["model"] == model
+        assert r["num_classes"] >= 50
+        assert r["top1"] >= floor, r
+
+    path = os.path.join(REPO, "benchmarks", "SLOWFAST_STEP.json")
+    assert os.path.exists(path), (
+        "benchmarks/SLOWFAST_STEP.json missing — run "
+        "python benchmarks/slowfast_step.py --out "
+        "benchmarks/SLOWFAST_STEP.json")
+    with open(path) as f:
+        rows = json.load(f)["rows"]
+    fast, faithful = (rows["slowfast_r2plus1d_tpu"],
+                      rows["slowfast_r2plus1d"])
+    assert (fast["train_clips_per_sec"]
+            > faithful["train_clips_per_sec"]), rows
+    assert (fast["infer_clips_per_sec"]
+            > faithful["infer_clips_per_sec"]), rows
+
+
+def test_recorded_i3d_benchmark_meets_threshold():
+    """Round-4 I3D trained-accuracy evidence (VERDICT r3 item 3): the
+    inflated full-3D Inception trains to 0.97 top-1 / 0.997 mAP on the
+    hard benchmark — with grad clipping, like every no-residual-bypass
+    Inception stack here."""
+    path = os.path.join(REPO, "benchmarks", "ACCURACY_HARD_I3D.json")
+    assert os.path.exists(path), (
+        "benchmarks/ACCURACY_HARD_I3D.json missing — run "
+        "python benchmarks/accuracy_hard.py --model i3d --epochs 120 "
+        "--clip-grad-norm 1.0 --out benchmarks/ACCURACY_HARD_I3D.json")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["model"] == "i3d"
+    assert r["num_classes"] >= 50
+    assert r["clip_grad_norm"] > 0
+    assert r["top1"] >= 0.85, r
+    assert r["mAP"] >= 0.9, r
