@@ -1,13 +1,14 @@
 """norm='scaleonly' train-step measurement (VERDICT r3 item 1).
 
-Round-4 per-fusion attribution of the r2plus1d_18_tpu step (PERF.md) showed
-the largest non-conv residue is the BatchNorm statistics math: 4 backward
-multiply-add passes over the 205 MB stage-1 mid activations (~6.6 ms,
-floor 0 conv-wise) plus BN-stat bytes carried inside the bwd conv fusions
-(the 34 TF/s temporal-dx bucket). norm='scaleonly' (models.layers.Norm)
-deletes every statistics pass — fwd reductions, running buffers, bwd
-dmean/dvar — replacing BN with a learned per-channel affine + scaled weight
-standardization + SkipInit (accuracy evidence: ACCURACY_HARD_SCALEONLY.json).
+MEASURED RESULT: NEUTRAL — scaleonly is an accuracy-parity norm OPTION
+(0.975 from scratch, ACCURACY_HARD_SCALEONLY.json), NOT a step-time
+lever. The round-4 first-pass attribution had read 4 floor-0
+multiply_add fusions (~6.6 ms) as deletable BN-backward stat passes;
+the corrected profiler (trace-event long_name/model_flops floors,
+PERF.md ROUND-4b/4c) identifies them as stage-1 dw CONVS fused with the
+SGD update, running near their physical floors — and the per-channel
+affine scaleonly keeps still pays dscale/dbias reductions in backward.
+Deleting BN statistics therefore buys nothing at this fusion granularity.
 
 This measures the dedupe-proof step time of the faithful and `_tpu` models
 under batch vs scaleonly norm, with the conv-roofline fraction bench.py

@@ -89,8 +89,10 @@ class ModelConfig:
     #             passes from the train step (+15% measured on v5e)
     # 'group'  -> GroupNorm, batch-independent, no running stats
     # 'scaleonly' -> learned per-channel affine, no normalization statistics
-    #             at all — the TPU training mode (PERF.md round-4: removes
-    #             the BN-stat passes that cap the `_tpu` variant's step)
+    #             at all (WS + SkipInit restore from-scratch trainability:
+    #             0.975 top-1, ACCURACY_HARD_SCALEONLY.json). Step-time
+    #             NEUTRAL (PERF.md ROUND-4b) — choose it for train==eval /
+    #             batch-independence / no SyncBN, not for speed.
     norm: str = "batch"
 
 

@@ -283,14 +283,13 @@ class Norm(nn.Module):
       independent, no running statistics; train == eval.
     - 'scaleonly' — learned per-channel affine y = x*scale + bias with NO
       normalization statistics anywhere (no fwd mean/var reductions, no
-      running buffers, no bwd dmean/dvar passes). The TPU training mode for
-      the `*_tpu` variants: the BN-statistics math is the largest non-conv
-      residue in the profiled `_tpu` step (PERF.md round-4 attribution —
-      4 bwd multiply-add passes over the 205 MB stage-1 mid activations plus
-      stat bytes carried by the bwd conv fusions). At init this is exactly
-      'frozen' (mean 0 / var 1), so the +15% frozen measurement is its floor.
-      Trains from scratch on residual nets at this depth (He init + warmup;
-      ACCURACY_HARD artifact is the parity evidence); train == eval.
+      running buffers, no bwd dmean/dvar passes). Trains from scratch at
+      parity via scaled weight standardization + SkipInit (0.975 top-1 on
+      the hard benchmark, ACCURACY_HARD_SCALEONLY.json) where 'frozen'
+      stalls; train == eval, batch-size independent, no SyncBN traffic.
+      Step-time NEUTRAL (SCALEONLY_STEP.json; PERF.md ROUND-4b — the
+      affine's dscale/dbias still cost full-size bwd reductions, and the
+      deleted stat math was already fused ~free).
     """
 
     kind: str = "batch"
