@@ -30,13 +30,21 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--norm", default="batch")
     p.add_argument("--rows", type=int, default=20)
+    p.add_argument("--eval", action="store_true",
+                   help="close the eval-mode forward (the serving loop) "
+                        "instead of the train step")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    from fastvideotagging_tpu.utils.step_profiler import profile_train_step
+    from fastvideotagging_tpu.utils.step_profiler import (
+        profile_eval_step, profile_train_step,
+    )
 
-    rows, cat, info = profile_train_step(args.model, args.batch,
-                                         norm=args.norm)
+    if args.eval:
+        rows, cat, info = profile_eval_step(args.model, args.batch)
+    else:
+        rows, cat, info = profile_train_step(args.model, args.batch,
+                                             norm=args.norm)
     total_us = sum(cat.values())
     floor_us = sum(r[2] for r in rows)
     adma = info.get("async_dma_bytes", 0.0)
@@ -52,7 +60,8 @@ def main(argv=None):
         })
 
     result = {
-        "benchmark": "train_step_fusion_closure",
+        "benchmark": ("eval_step_fusion_closure" if args.eval
+                      else "train_step_fusion_closure"),
         "model": args.model,
         "norm": args.norm,
         "batch": args.batch,
