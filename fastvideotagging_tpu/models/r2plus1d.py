@@ -54,16 +54,14 @@ class Conv2Plus1D(nn.Module):
                       dtype=self.dtype, axis_name=self.bn_axis_name,
                       name="bn_mid")(x)
         x = nn.relu(x)
-        if not train:
-            # Eval-only programs (no bwd consumers of the mid activation)
-            # let XLA fuse the WHOLE spatial conv + affine + relu INTO the
-            # temporal conv as an input fusion, recomputing the mid tensor
-            # per temporal tile: the fused pair measured 4.8 ms vs the
-            # train program's 1.6 + 1.2 ms for the identical convs
-            # (TPU_EVAL_CLOSURE.json, PERF.md ROUND-4e). The barrier splits
-            # the conv-into-conv fusion (BN/relu epilogues still fuse on
-            # each side); numerics identity.
-            x = jax.lax.optimization_barrier(x)
+        # Eval-only programs (no bwd consumers of the mid activation) let XLA
+        # fuse the whole spatial conv + affine + relu INTO the temporal conv
+        # as an input fusion, recomputing the mid tensor per temporal tile.
+        # An optimization_barrier here splits that fusion — measured a step-
+        # level NEGATIVE both ways (faithful +1.06 ms, _tpu -0.3 ms noise;
+        # benchmarks/EVAL_BARRIER_AB.json, PERF.md ROUND-4e): the recompute
+        # trades cheap MXU flops for an HBM round-trip of the mid tensor,
+        # the right call on a byte-bound serving program. Do not re-add.
         x = TemporalConv(self.features, 3, stride=self.temporal_stride,
                          backend=self.backend, dtype=self.dtype, ws=ws,
                          time_axis=self.time_axis, name="temporal")(x)
@@ -147,9 +145,6 @@ class R2Plus1D(nn.Module):
         x = SpatialConv(self.stem_mid, 7, stride=2, backend=self.backend,
                         dtype=self.dtype, ws=ws, name="stem_spatial")(x)
         x = nn.relu(bn("stem_bn1")(x))
-        if not train:
-            # same conv-into-conv input-fusion pathology as Conv2Plus1D
-            x = jax.lax.optimization_barrier(x)
         x = TemporalConv(64, 3, backend=self.backend, dtype=self.dtype, ws=ws,
                          time_axis=self.time_axis, name="stem_temporal")(x)
         x = nn.relu(bn("stem_bn2")(x))
