@@ -73,13 +73,30 @@ def main(argv=None):
         "async_staging_hbm_ms": round(adma / 819e9 * 1e3, 2),
         "categories_ms": {k: round(v / 1e3, 2) for k, v in cat.items()},
         "largest_fusions": top,
-        "note": ("floors are PHYSICAL: tile-padded HBM bytes at pin "
-                 "bandwidth + MXU lane-aware FLOP time; VMEM-staged "
-                 "operands charged once at their async copy. "
-                 "measured_over_floor ~1.1-1.3 per fusion = the step is "
-                 "at its layout-level byte roofline; the textbook "
-                 "logical-byte conv roofline (bench.py vs_baseline) "
-                 "undercounts stage-1's C=64 tile padding 2x."),
+        "note": (
+            # Eval programs deliberately sit further from their once-counted
+            # floors: PERF.md ROUND-4e — with no bwd consumers of the (2+1)D
+            # mid activation, XLA fuses spatial conv + affine + relu INTO the
+            # temporal conv and RECOMPUTES the mid per tile, so the measured
+            # fusion carries flops/bytes the floor does not. Per-fusion ratios
+            # of 2-5x on those conv-into-conv fusions are the expected
+            # signature of that (globally faster — EVAL_BARRIER_AB.json)
+            # recompute choice, not an emitter gap.
+            "floors are PHYSICAL: tile-padded HBM bytes at pin bandwidth + "
+            "MXU lane-aware FLOP time; VMEM-staged operands charged once at "
+            "their async copy. Eval ratios sit below train because XLA's "
+            "conv-into-conv input fusions deliberately recompute the (2+1)D "
+            "mid activation per temporal tile (measured globally FASTER than "
+            "materializing it: EVAL_BARRIER_AB.json, PERF.md ROUND-4e) — "
+            "per-fusion ratios of 2-5x on those fusions are expected, not an "
+            "emitter gap." if args.eval else
+            "floors are PHYSICAL: tile-padded HBM bytes at pin "
+            "bandwidth + MXU lane-aware FLOP time; VMEM-staged "
+            "operands charged once at their async copy. "
+            "measured_over_floor ~1.1-1.3 per fusion = the step is "
+            "at its layout-level byte roofline; the textbook "
+            "logical-byte conv roofline (bench.py vs_baseline) "
+            "undercounts stage-1's C=64 tile padding 2x."),
     }
     line = json.dumps(result, indent=2)
     print(line)
