@@ -94,6 +94,12 @@ class ModelConfig:
     #             NEUTRAL (PERF.md ROUND-4b) — choose it for train==eval /
     #             batch-independence / no SyncBN, not for speed.
     norm: str = "batch"
+    # Activation rematerialization on the residual blocks (r2plus1d family;
+    # models.r2plus1d.remat_policy): 'none'|'full'|'dots'|'mid'|'conv'.
+    # Numerics-identical to 'none' — a training-throughput/memory knob that
+    # trades recompute FLOPs (idle MXU, the step is byte-bound 2:1) for
+    # activation HBM round-trips. Measured per-policy in REMAT_STEP.json.
+    remat: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

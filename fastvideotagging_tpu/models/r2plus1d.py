@@ -19,6 +19,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from fastvideotagging_tpu.models.layers import (
     BatchNorm,
@@ -29,6 +30,43 @@ from fastvideotagging_tpu.models.layers import (
     mxu_aligned_mid_channels,
     r2plus1d_mid_channels,
 )
+
+
+def remat_policy(name: str):
+    """Activation-rematerialization policies for the residual blocks
+    (ModelConfig.remat; measured head-to-head in benchmarks/remat_step.py,
+    REMAT_STEP.json — the train step is byte-bound ~2:1 on v5e, so trading
+    recompute FLOPs on the idle MXU for activation HBM round-trips is the
+    one program-level lever left after the per-fusion closure of round 4c).
+
+    - 'full': save only block inputs; backward recomputes each block's whole
+      forward (jax.checkpoint's default nothing-saveable policy).
+    - 'dots': save dot_general/conv outputs, recompute elementwise/norm math
+      (jax.checkpoint_policies.dots_saveable).
+    - 'mid':  save everything EXCEPT the (2+1)D mid activation (the relu'd
+      spatial-conv output, named 'c2p1d_mid' below) — backward re-runs just
+      the spatial conv, the exact trade XLA itself makes in eval programs
+      (EVAL_BARRIER_AB.json: recompute beat materializing the mid).
+      CAVEAT (measured): save_anything_except_these_names FORCE-saves every
+      other intermediate — including the pred relu masks XLA normally
+      rematerializes (392 MB each at stage 1) — and OOMs the faithful model
+      at B=32 on a 16 GB v5e. Kept for small-batch use; prefer 'conv'.
+    - 'conv': save ONLY the temporal conv outputs (named 'c2p1d_out') plus
+      the block boundaries jax.checkpoint always keeps; the mid activation
+      and all norm/relu elementwise are recomputed in backward from those.
+      The surgical "don't round-trip the mid through HBM" policy.
+    """
+    cp = jax.checkpoint_policies
+    if name == "full":
+        return None
+    if name == "dots":
+        return cp.dots_saveable
+    if name == "mid":
+        return cp.save_anything_except_these_names("c2p1d_mid")
+    if name == "conv":
+        return cp.save_only_these_names("c2p1d_out")
+    raise ValueError(
+        f"unknown remat policy {name!r}; expected none|full|dots|mid|conv")
 
 
 class Conv2Plus1D(nn.Module):
@@ -54,6 +92,11 @@ class Conv2Plus1D(nn.Module):
                       dtype=self.dtype, axis_name=self.bn_axis_name,
                       name="bn_mid")(x)
         x = nn.relu(x)
+        # Names the mid activation for the 'mid' remat policy (remat_policy
+        # above): under nn.remat(..., save_anything_except_these_names(
+        # 'c2p1d_mid')) the backward recomputes the spatial conv instead of
+        # round-tripping this tensor through HBM. Identity everywhere else.
+        x = checkpoint_name(x, "c2p1d_mid")
         # Eval-only programs (no bwd consumers of the mid activation) let XLA
         # fuse the whole spatial conv + affine + relu INTO the temporal conv
         # as an input fusion, recomputing the mid tensor per temporal tile.
@@ -65,7 +108,10 @@ class Conv2Plus1D(nn.Module):
         x = TemporalConv(self.features, 3, stride=self.temporal_stride,
                          backend=self.backend, dtype=self.dtype, ws=ws,
                          time_axis=self.time_axis, name="temporal")(x)
-        return x
+        # Names the temporal conv output for the 'conv' remat policy (save
+        # only these; recompute mid + elementwise in backward). Identity
+        # everywhere else.
+        return checkpoint_name(x, "c2p1d_out")
 
 
 class BasicBlock(nn.Module):
@@ -89,16 +135,23 @@ class BasicBlock(nn.Module):
         )
         ws = self.norm == "scaleonly"
         residual = x
+        # bn_axis_name MUST reach the factorized conv's mid BN too: under
+        # explicit shard_map (DP or time sharding) a non-psync'd mid BN
+        # silently normalizes with LOCAL statistics — caught by the
+        # time-sharded train-step equality test (the GSPMD path never
+        # exercises axis_name, and tiny3d has no mid BNs).
         y = Conv2Plus1D(
             self.features, self.mid_channels_fn(cin, self.features),
             spatial_stride=self.stride, temporal_stride=self.stride,
             backend=self.backend, dtype=self.dtype, norm=self.norm,
+            bn_axis_name=self.bn_axis_name,
             time_axis=self.time_axis, name="conv1",
         )(x, train)
         y = nn.relu(bn("bn1")(y))
         y = Conv2Plus1D(
             self.features, self.mid_channels_fn(self.features, self.features),
             backend=self.backend, dtype=self.dtype, norm=self.norm,
+            bn_axis_name=self.bn_axis_name,
             time_axis=self.time_axis, name="conv2",
         )(y, train)
         # scaleonly: zero-init the branch's final scale (SkipInit) — the
@@ -131,6 +184,10 @@ class R2Plus1D(nn.Module):
     time_axis: str | None = None
     mid_channels_fn: object = r2plus1d_mid_channels
     stem_mid: int = 45  # paper stem width; 128 in the `*_tpu` variants
+    # Activation rematerialization on the residual blocks ('none' | 'full' |
+    # 'dots' | 'mid' — see remat_policy). Numerics-identical to 'none' (same
+    # math, recomputed); a training-throughput knob only.
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -149,11 +206,18 @@ class R2Plus1D(nn.Module):
                          time_axis=self.time_axis, name="stem_temporal")(x)
         x = nn.relu(bn("stem_bn2")(x))
 
+        # Block-granular remat: wrap the block CLASS once (argnum 2 = the
+        # static `train` flag; argnum 0 is the module itself). prevent_cse
+        # stays on (the default) so XLA cannot CSE the recompute back into
+        # the forward and silently undo the policy.
+        block_cls = (BasicBlock if self.remat == "none" else
+                     nn.remat(BasicBlock, policy=remat_policy(self.remat),
+                              static_argnums=(2,)))
         for stage, num_blocks in enumerate(self.stage_blocks):
             features = 64 * (2 ** stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = BasicBlock(features, stride=stride, backend=self.backend,
+                x = block_cls(features, stride=stride, backend=self.backend,
                                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                                norm=self.norm, time_axis=self.time_axis,
                                mid_channels_fn=self.mid_channels_fn,

@@ -57,6 +57,10 @@ def model_from_config(m_cfg, **overrides) -> nn.Module:
         dtype=jnp.dtype(m_cfg.compute_dtype),
         norm=m_cfg.norm,
     )
+    # Only forwarded when requested so models without the knob fail loudly
+    # (TypeError naming the kwarg) instead of silently ignoring the config.
+    if getattr(m_cfg, "remat", "none") != "none":
+        kw["remat"] = m_cfg.remat
     kw.update(overrides)
     return get_model(m_cfg.name, **kw)
 
