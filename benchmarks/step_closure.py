@@ -49,6 +49,20 @@ def main(argv=None):
     floor_us = sum(r[2] for r in rows)
     adma = info.get("async_dma_bytes", 0.0)
 
+    # Floor-rule soundness: floors must be true LOWER bounds on this data.
+    # A fusion measuring meaningfully below its floor refutes a rule (the
+    # round-4c dx correction was exactly such a refutation). 10% slack
+    # absorbs trace-timing quantization on micro-fusions.
+    viol = [(d, roof, op) for d, _tf, roof, op, _c in rows
+            if roof > 0 and d < 0.9 * roof]
+    violations = {
+        "count": len(viol),
+        "worst": ([{"measured_us": round(d, 1), "floor_us": round(r, 1),
+                    "op": op[:100]}
+                   for d, r, op in sorted(viol, key=lambda v: v[0] / v[1])[:3]]
+                  if viol else []),
+    }
+
     top = []
     for d, tf, roof, op, _convs in rows[:args.rows]:
         top.append({
@@ -71,6 +85,7 @@ def main(argv=None):
         "floor_over_measured": round(floor_us / total_us, 4),
         "async_staging_gib_per_step": round(adma / 2**30, 2),
         "async_staging_hbm_ms": round(adma / 819e9 * 1e3, 2),
+        "floor_violations": violations,
         "categories_ms": {k: round(v / 1e3, 2) for k, v in cat.items()},
         "largest_fusions": top,
         "note": (

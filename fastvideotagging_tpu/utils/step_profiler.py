@@ -388,23 +388,29 @@ def attribute(dur, fus, comp_convs, top: int = 30,
     async_bytes = 0.0  # overlapped DMA traffic (copy-start/slice-start)
 
     def conv_flop_floor(c, is_bwd):
-        # MXU lane-aware FLOP floor: a conv whose OUTPUT channel count
-        # sits below the 128-lane MXU width leaves result lanes idle —
-        # a physical ceiling of peak * cout/128, not emitter slack
-        # (stage-1's C=64 shapes; round-2 lane-utilization analysis).
-        # Applies to FORWARD convs (cout IS the GEMM's N) and to dw convs
-        # (kernel-shaped output; measured 48 TF/s <= the bound) — but NOT
-        # to dx convs: the emitter demonstrably retiles those (stage-2 dx
-        # measured 146 TF/s with a C=64 output, 1.5x the naive bound), so
-        # for activation-shaped bwd outputs full peak is the only honest
-        # ceiling.
+        # MXU lane-aware FLOP floor: result channels map to the 128 MXU
+        # lanes in whole tile passes, so a conv's FLOP ceiling is
+        # peak * cout / (ceil(cout/128)*128) — cout=64 runs one half-idle
+        # pass (0.5, round-2 analysis), and cout=144 runs a full pass plus
+        # a 16/128 pass (0.5625 — round 5: the original min(cout,128)/128
+        # rule priced every cout>128 at FULL peak, which is exactly the
+        # "M=144/230 mid fragmentation the floors don't see" of the
+        # faithful model's 0.786 closure residual: its stage-1 fwd spatial
+        # convs measured 94 TF/s = 1.88x a byte floor but 1.18x this lane
+        # ceiling of 110.8). Applies to FORWARD convs (cout IS the GEMM's
+        # N) and to dw convs (kernel-shaped output; measured 48 TF/s <=
+        # the bound) — but NOT to dx convs: the emitter demonstrably
+        # retiles those (stage-2 dx measured 146 TF/s with a C=64 output,
+        # 1.5x the naive bound), so for activation-shaped bwd outputs full
+        # peak is the only honest ceiling.
         out_dims = _dims(c[0])
         cout = out_dims[-1] if out_dims else 128
         kernel_shaped = bool(out_dims) and out_dims[0] != out_dims[-1] \
             and len(out_dims) == 5 and out_dims[0] <= 7 and out_dims[1] <= 7
         if is_bwd and not kernel_shaped:
             return c[2] / peak_flops  # dx
-        eff = peak_flops * min(cout, 128) / 128.0
+        lane_tiles = -(-cout // 128) * 128
+        eff = peak_flops * cout / lane_tiles
         return c[2] / eff
 
     for name, d in dur.items():
