@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         base_lr: float = 0.05, seed: int = 0, root: str | None = None,
         keep_data: bool = False, model_name: str = "r2plus1d_18",
-        clip_grad_norm: float = 0.0, norm: str = "batch") -> dict:
+        clip_grad_norm: float = 0.0, norm: str = "batch",
+        clip_len: int = 8, stride: int = 2, dropout: float = 0.0) -> dict:
     import numpy as np
 
     from fastvideotagging_tpu.config import (
@@ -57,11 +58,15 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
     cfg = ExperimentConfig(
         # The REAL flagship backbone, reduced input resolution (8x32x32).
         model=ModelConfig(name=model_name, num_classes=num_classes,
-                          dropout=0.0, norm=norm),
+                          dropout=dropout, norm=norm),
         data=DataConfig(source_hw=(48, 48), resize_hw=(40, 40),
                         crop_hw=(32, 32), random_flip=False,
                         num_workers=8, cache_mb=1024,  # whole set ~300 MiB
-                        sampler=ClipSamplerConfig(clip_len=8, stride=2,
+                        # clip_len 8/stride 2 is the standard recipe; C3D's
+                        # five temporal pools need clip_len=16 (stride 1) —
+                        # T=8 reaches pool5 with zero frames
+                        sampler=ClipSamplerConfig(clip_len=clip_len,
+                                                  stride=stride,
                                                   eval_mode="uniform",
                                                   num_eval_clips=4)),
         train=TrainConfig(batch_size=batch_size, num_epochs=epochs,
@@ -91,7 +96,8 @@ def run(num_classes: int = 50, epochs: int = 40, batch_size: int = 64,
         "num_classes": num_classes,
         "train_videos": len(train_records),
         "eval_videos": len(eval_records),
-        "clip_geometry": "8x32x32 (stride 2) from 48x48x48 videos",
+        "clip_geometry": f"{clip_len}x32x32 (stride {stride}) "
+                         "from 48x48x48 videos",
         "epochs": epochs,
         "steps": int(state.step),
         "seed": seed,
@@ -219,6 +225,11 @@ def main(argv=None):
                    help="zoo name (e.g. r2plus1d_18_tpu) for the single-label run")
     p.add_argument("--clip-grad-norm", type=float, default=0.0,
                    help="global-norm grad clip (required for s3d)")
+    p.add_argument("--clip-len", type=int, default=8,
+                   help="frames per clip (C3D needs 16)")
+    p.add_argument("--stride", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="head dropout (C3D's FC-4096 head may want 0.5)")
     p.add_argument("--norm", default="batch",
                    help="ModelConfig.norm for the single-label run "
                         "(batch|frozen|group|scaleonly)")
@@ -231,7 +242,9 @@ def main(argv=None):
         result = run(args.classes or 50, args.epochs or 40, args.batch,
                      args.lr or 0.05, args.seed, args.root,
                      model_name=args.model,
-                     clip_grad_norm=args.clip_grad_norm, norm=args.norm)
+                     clip_grad_norm=args.clip_grad_norm, norm=args.norm,
+                     clip_len=args.clip_len, stride=args.stride,
+                     dropout=args.dropout)
     line = json.dumps(result, indent=2)
     print(line)
     if args.out:
