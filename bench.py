@@ -399,7 +399,9 @@ def main():
     s3d_clips, s3d_roof = _safe(_s3d_row, (-1.0, -1.0), "s3d train step")
 
     # I3D (Carreira'17, round 3f) — dense full-3D convs + stem temporal
-    # downsampling: the best roofline fraction in the zoo (0.64 measured).
+    # downsampling. ~1030 clips/s / 0.32 roofline under this protocol
+    # (BENCH_r03/r04 + round-5 remeasure); PERF.md's old 2079/0.64 row was
+    # the 1-of-N trace-normalization artifact, corrected round 5.
     def _i3d_row():
         clips, _tf, _fl, sec, roof = bench_train_step(
             batch_size, model_name="i3d")

@@ -108,10 +108,15 @@ def main(argv=None):
             "floors are PHYSICAL: tile-padded HBM bytes at pin "
             "bandwidth + MXU lane-aware FLOP time; VMEM-staged "
             "operands charged once at their async copy. "
-            "measured_over_floor ~1.1-1.3 per fusion = the step is "
-            "at its layout-level byte roofline; the textbook "
-            "logical-byte conv roofline (bench.py vs_baseline) "
-            "undercounts stage-1's C=64 tile padding 2x."),
+            f"floor_over_measured {floor_us / total_us:.2f}: "
+            + ("the step is at its layout-level byte roofline "
+               "(per-fusion ratios ~1.1-1.3); the textbook logical-byte "
+               "conv roofline (bench.py vs_baseline) undercounts tile "
+               "padding." if floor_us / total_us >= 0.75 else
+               "a real per-fusion gap remains — read largest_fusions "
+               "for the ops sitting >1.5x their own floors and PERF.md "
+               "for the round-5 itemization (select_and_scatter maxpool "
+               "backward, C=3 stem emitter).")),
     }
     line = json.dumps(result, indent=2)
     print(line)
