@@ -47,10 +47,10 @@ def same_padding(x: jax.Array, window, strides) -> tuple:
 
 
 def max_pool_same(x: jax.Array, window, strides) -> jax.Array:
-    """TF-SAME max-pool over (T, H, W)."""
-    return nn.max_pool(x, window_shape=tuple(window),
-                       strides=tuple(strides),
-                       padding=same_padding(x, window, strides))
+    """TF-SAME max-pool over (T, H, W) (fast-VJP path, ops.maxpool_grad)."""
+    from fastvideotagging_tpu.ops.maxpool_grad import max_pool_nthwc
+    return max_pool_nthwc(x, tuple(window), tuple(strides),
+                          same_padding(x, window, strides))
 
 
 class Unit3D(nn.Module):

@@ -339,10 +339,17 @@ BatchNorm = Norm
 
 
 def max_pool_3d(x, window, strides=None, padding="VALID"):
-    """Max-pool over (T, H, W) of an NTHWC tensor."""
+    """Max-pool over (T, H, W) of an NTHWC tensor.
+
+    Routed through ops.maxpool_grad: identical forward to nn.max_pool
+    (lax.reduce_window max), but the VJP is the TPU-fast equality-mask
+    stencil instead of select_and_scatter (measured 33x its byte floor in
+    the s3d step — TPU_STEP_CLOSURE_S3D.json). FVT_MAXPOOL_GRAD=sas
+    restores the default VJP.
+    """
+    from fastvideotagging_tpu.ops.maxpool_grad import max_pool_nthwc
     strides = strides or window
-    return nn.max_pool(x, window_shape=_triple(window), strides=_triple(strides),
-                       padding=padding)
+    return max_pool_nthwc(x, _triple(window), _triple(strides), padding)
 
 
 def global_avg_pool_3d(x):
