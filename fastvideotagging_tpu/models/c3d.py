@@ -28,15 +28,15 @@ class C3D(nn.Module):
         )
         x = x.astype(self.dtype)
         x = nn.relu(conv(64, "conv1")(x))
-        x = max_pool_3d(x, (1, 2, 2))
+        x = max_pool_3d(x, (1, 2, 2), train=train)
         x = nn.relu(conv(128, "conv2")(x))
-        x = max_pool_3d(x, (2, 2, 2))
+        x = max_pool_3d(x, (2, 2, 2), train=train)
         x = nn.relu(conv(256, "conv3a")(x))
         x = nn.relu(conv(256, "conv3b")(x))
-        x = max_pool_3d(x, (2, 2, 2))
+        x = max_pool_3d(x, (2, 2, 2), train=train)
         x = nn.relu(conv(512, "conv4a")(x))
         x = nn.relu(conv(512, "conv4b")(x))
-        x = max_pool_3d(x, (2, 2, 2))
+        x = max_pool_3d(x, (2, 2, 2), train=train)
         x = nn.relu(conv(512, "conv5a")(x))
         x = nn.relu(conv(512, "conv5b")(x))
         # pool5 pads spatially (7 -> 4 at 112 input). Torch/MXNet pad
@@ -45,7 +45,8 @@ class C3D(nn.Module):
         # — same geometry, one-pixel-shifted groupings. Explicit symmetric
         # padding keeps the classic-C3D checkpoint import numerically exact
         # (models/torch_import.convert_c3d_state_dict).
-        x = max_pool_3d(x, (2, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
+        x = max_pool_3d(x, (2, 2, 2), padding=((0, 0), (1, 1), (1, 1)),
+                        train=train)
         x = x.reshape((x.shape[0], -1))
         x = nn.relu(nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32,
                              name="fc6")(x))

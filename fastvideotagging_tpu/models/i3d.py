@@ -46,11 +46,13 @@ def same_padding(x: jax.Array, window, strides) -> tuple:
                  for i in range(3))
 
 
-def max_pool_same(x: jax.Array, window, strides) -> jax.Array:
-    """TF-SAME max-pool over (T, H, W) (fast-VJP path, ops.maxpool_grad)."""
+def max_pool_same(x: jax.Array, window, strides,
+                  train: bool = False) -> jax.Array:
+    """TF-SAME max-pool over (T, H, W) (phase-dependent lowering,
+    ops.maxpool_grad: separable in train, fused 3D window in eval)."""
     from fastvideotagging_tpu.ops.maxpool_grad import max_pool_nthwc
     return max_pool_nthwc(x, tuple(window), tuple(strides),
-                          same_padding(x, window, strides))
+                          same_padding(x, window, strides), train=train)
 
 
 class Unit3D(nn.Module):
@@ -100,7 +102,7 @@ class Inception3D(nn.Module):
         b2 = Unit3D(self.c2a, name="b2_reduce", **kw)(x, train)
         b2 = Unit3D(self.c2b, kernel=(3, 3, 3), name="b2_conv", **kw)(
             b2, train)
-        b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1), train=train)
         b3 = Unit3D(self.c3, name="b3_conv", **kw)(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -121,14 +123,14 @@ class I3D(nn.Module):
         x = x.astype(self.dtype)
         x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
                    name="conv1", **kw)(x, train)
-        x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = max_pool_same(x, (1, 3, 3), (1, 2, 2), train=train)
         x = Unit3D(64, name="conv2", **kw)(x, train)
         x = Unit3D(192, kernel=(3, 3, 3), name="conv3", **kw)(x, train)
-        x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = max_pool_same(x, (1, 3, 3), (1, 2, 2), train=train)
         for name, widths in _INCEPTION_BLOCKS:
             if widths is None:
                 window = (3, 3, 3) if name == "pool3" else (2, 2, 2)
-                x = max_pool_same(x, window, (2, 2, 2))
+                x = max_pool_same(x, window, (2, 2, 2), train=train)
             else:
                 x = Inception3D(*widths, name=name, **kw)(x, train)
 

@@ -338,18 +338,20 @@ class Norm(nn.Module):
 BatchNorm = Norm
 
 
-def max_pool_3d(x, window, strides=None, padding="VALID"):
+def max_pool_3d(x, window, strides=None, padding="VALID", train=False):
     """Max-pool over (T, H, W) of an NTHWC tensor.
 
-    Routed through ops.maxpool_grad: identical forward to nn.max_pool
-    (lax.reduce_window max), but the VJP is the TPU-fast equality-mask
-    stencil instead of select_and_scatter (measured 33x its byte floor in
-    the s3d step — TPU_STEP_CLOSURE_S3D.json). FVT_MAXPOOL_GRAD=sas
-    restores the default VJP.
+    Routed through ops.maxpool_grad: identical values to nn.max_pool, but
+    train-mode pools lower SEPARABLY (chained 1D reduce_windows) so the
+    backward runs as 1D select_and_scatters instead of the 3D scan that
+    measured 33x its byte floor in the s3d step (s3d +29%, i3d +24.5%
+    train clips/s — MAXPOOL_GRAD_AB.json). Eval keeps the single fused 3D
+    window (sep measured -32% fwd-only). FVT_MAXPOOL_GRAD/_EVAL override.
     """
     from fastvideotagging_tpu.ops.maxpool_grad import max_pool_nthwc
     strides = strides or window
-    return max_pool_nthwc(x, _triple(window), _triple(strides), padding)
+    return max_pool_nthwc(x, _triple(window), _triple(strides), padding,
+                          train=train)
 
 
 def global_avg_pool_3d(x):

@@ -102,7 +102,7 @@ class P3D(nn.Module):
         # vs what public checkpoints were trained with — see models/c3d.py
         # pool5 note and torch_import.convert_p3d_state_dict)
         x = max_pool_3d(x, (2, 3, 3), strides=(2, 2, 2),
-                        padding=((0, 0), (1, 1), (1, 1)))
+                        padding=((0, 0), (1, 1), (1, 1)), train=train)
 
         block_cycle = "ABC"
         idx = 0

@@ -123,7 +123,7 @@ class SepInception(nn.Module):
         b2 = nn.relu(bn("b2_bn")(conv1(self.c2a, "b2_reduce")(x)))
         b2 = sep(self.c2b, "b2_sep")(b2, train)
         b3 = max_pool_3d(x, (3, 3, 3), strides=(1, 1, 1),
-                         padding=((1, 1), (1, 1), (1, 1)))
+                         padding=((1, 1), (1, 1), (1, 1)), train=train)
         b3 = nn.relu(bn("b3_bn")(conv1(self.c3, "b3_conv")(b3)))
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -165,19 +165,20 @@ class S3D(nn.Module):
         x = x.astype(self.dtype)
         x = SepConv(64, kernel=7, stride=2, name="stem", **kw)(x, train)
         x = max_pool_3d(x, (1, 3, 3), strides=(1, 2, 2),
-                        padding=((0, 0), (1, 1), (1, 1)))
+                        padding=((0, 0), (1, 1), (1, 1)), train=train)
         x = Conv3D(64, (1, 1, 1), dtype=self.dtype, name="conv2")(x)
         x = nn.relu(BatchNorm(kind=self.norm, use_running_average=not train,
                               dtype=self.dtype, axis_name=self.bn_axis_name,
                               epsilon=self.bn_eps, name="conv2_bn")(x))
         x = SepConv(192, kernel=3, name="conv3", **kw)(x, train)
         x = max_pool_3d(x, (1, 3, 3), strides=(1, 2, 2),
-                        padding=((0, 0), (1, 1), (1, 1)))
+                        padding=((0, 0), (1, 1), (1, 1)), train=train)
         for name, widths in _INCEPTION_BLOCKS:
             if widths is None:
                 window = (3, 3, 3) if name == "pool3" else (2, 2, 2)
                 pad = (((1, 1),) * 3 if name == "pool3" else "VALID")
-                x = max_pool_3d(x, window, strides=(2, 2, 2), padding=pad)
+                x = max_pool_3d(x, window, strides=(2, 2, 2), padding=pad,
+                                train=train)
             else:
                 x = SepInception(*widths, name=name, **kw)(x, train)
 

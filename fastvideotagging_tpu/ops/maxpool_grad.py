@@ -9,32 +9,45 @@ branch pool). select_and_scatter is a sequential window-scan primitive
 that maps to neither the MXU nor a wide VPU fusion; every Inception
 max-pool in s3d/i3d and every C3D/P3D stage pool pays it.
 
-This module replaces the VJP only. The forward is the same
-`lax.reduce_window` max the default path uses (bit-identical eval/serving;
-fwd-only jits are untouched). The backward is an equality-mask stencil:
+THE SHIPPED FIX IS SEPARABILITY, chosen by step-level A/B on the chip
+(benchmarks/MAXPOOL_GRAD_AB.json; protocol per CLAUDE.md): max over a
+rectangular k_t x k_h x k_w window separates EXACTLY into three chained
+1D pools, so mode 'sep' lowers one 3D reduce_window into per-dim 1D
+reduce_windows. Forward values are bit-identical (max is associative);
+the backward becomes three 1D select_and_scatters, each scanning a
+k-wide window along ONE dim — which XLA executes at a small multiple of
+the byte floor instead of the 3D scan's 33x. Measured train step, B=32
+16x112x112: s3d 26.37 -> 20.46 ms (+29% clips/s), i3d 31.34 -> 25.17 ms
+(+24.5%).
 
-    ties[o]  = sum_d [x_pad[o*s + d] == y[o]]            (k^3-tap stencil)
-    grad[j]  = sum_d [x_pad[j] == y_dil[j - d]] * ct_dil[j - d] / ties_dil
-                                                          (k^3-tap stencil)
+Two rejected alternatives are kept as modes for the record (both
+measured, do not re-default them):
 
-where `_dil` arrays are the output-grid quantities interior-dilated by the
-stride onto the padded-input grid (lax.pad with interior padding — free at
-fusion time). Both passes are pure elementwise/shift fusions: XLA emits
-them as wide VPU loops reading each buffer ~once, so the backward runs at
-its byte roofline instead of select_and_scatter's scan.
+* 'mask' — a custom_vjp whose backward is an equality-mask stencil
+  (ties count + dilated cotangent gather, k^3 taps each). The hypothesis
+  was that two fused elementwise passes beat the scan; MEASURED 2x
+  step-NEGATIVE on both Inception models (s3d 57.6 ms, i3d 58.6 ms):
+  a fused stencil's shifted reads are not free — the emitter re-reads
+  the x-sized operands once per tap, so the pass costs ~k^3 x-sized HBM
+  reads (PERF.md dead end #16).
+* 'sepmask' — 1D pools with the k-tap stencil VJP; the per-site
+  custom_vjp triplication blows the HLO up and the axon remote compiler
+  times out (>1200 s) at s3d scale.
 
-Semantics vs the default VJP: on TIES the cotangent is split EVENLY among
-the tied window elements (the subgradient average). XLA's
-select_and_scatter and torch both route it to the first tied element.
-Post-ReLU feature maps tie on 0.0 frequently, so full-model grads differ
-from the default path in the last bits on tied windows; both are valid
-subgradients. Tie-free inputs (e.g. permutation-valued tests) match the
-default VJP exactly, including in bf16 (the max is an exact element of the
-window, so the equality test is exact in any dtype).
+Tie semantics: 'sep'/'sas' route the cotangent to the first tied element
+per window (XLA select semantics; torch does the same). 'mask'/'sepmask'
+split it evenly (subgradient average). Tie-free inputs match exactly in
+every mode, including in bf16 (the max is an exact element of the
+window, so equality tests are exact in any dtype).
 
-Escape hatch: FVT_MAXPOOL_GRAD=sas in the environment (read at import)
-restores the select_and_scatter path globally; `grad='sas'` does it per
-call site.
+The lowering is PHASE-DEPENDENT: 'sep' is the TRAIN default only. In
+eval there is no backward to fix, and the chained 1D windows just add
+materialization passes — measured s3d eval-mode A/B: sas 8645 clips/s,
+sep 5853 (-32%). So eval keeps the single fused 3D reduce_window
+('sas'), values identical either way; call sites pass their `train`
+flag. Escape hatches (read at import): FVT_MAXPOOL_GRAD overrides the
+train-mode lowering, FVT_MAXPOOL_EVAL the eval-mode one; `grad=` does
+it per call site.
 """
 
 from __future__ import annotations
@@ -51,8 +64,17 @@ Triple = Tuple[int, int, int]
 Pads = Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]]
 
 # Import-time default so a jitted train step is one program, not a
-# per-call branch. 'mask' = stencil VJP; 'sas' = XLA's select_and_scatter.
-DEFAULT_GRAD = os.environ.get("FVT_MAXPOOL_GRAD", "mask")
+# per-call branch. Measured on-chip (benchmarks/MAXPOOL_GRAD_AB.json,
+# B=32 16x112x112 train step, fresh process per arm):
+#   'sep'  s3d 20.46 ms (+29% clips/s vs sas), i3d 25.17 ms (+24.5%)
+#   'sas'  s3d 26.37 ms, i3d 31.34 ms  (XLA 3D select_and_scatter bwd)
+#   'mask' s3d 57.62 ms, i3d 58.62 ms  (dead end #16: the fused k^3-tap
+#          stencil re-reads its x-sized operands once PER TAP)
+#   'sepmask' compile timeout >1200 s on the axon compiler (dead).
+# Eval mode measured the OPPOSITE way (s3d fwd-only: sas 8645 clips/s,
+# sep 5853): no backward to fix, extra passes only — eval stays 'sas'.
+DEFAULT_GRAD = os.environ.get("FVT_MAXPOOL_GRAD", "sep")
+EVAL_DEFAULT = os.environ.get("FVT_MAXPOOL_EVAL", "sas")
 
 
 def _reduce_max(x: jax.Array, window: Triple, strides: Triple,
@@ -181,19 +203,50 @@ def resolve_pads(shape_sp: Sequence[int], window: Triple, strides: Triple,
     return pads
 
 
+def _sep_dims(window: Triple, strides: Triple, pads: Pads):
+    """Dims that actually pool, ordered; 1-wide unstrided unpadded dims
+    are identity and skipped."""
+    return [i for i in range(3)
+            if window[i] > 1 or strides[i] > 1 or pads[i] != (0, 0)]
+
+
+def _axis_spec(i: int, window: Triple, strides: Triple, pads: Pads):
+    w = [1, 1, 1]
+    s = [1, 1, 1]
+    p = [(0, 0)] * 3
+    w[i], s[i], p[i] = window[i], strides[i], pads[i]
+    return tuple(w), tuple(s), tuple(p)
+
+
 def max_pool_nthwc(x: jax.Array, window: Triple, strides: Triple | None = None,
-                   padding="VALID", grad: str | None = None) -> jax.Array:
+                   padding="VALID", grad: str | None = None,
+                   train: bool = False) -> jax.Array:
     """Max-pool over the (T, H, W) dims of an NTHWC tensor.
 
-    Forward is `lax.reduce_window` max either way; `grad` selects the VJP:
-    'mask' (default, TPU-fast stencil) or 'sas' (XLA select_and_scatter).
+    `grad` selects the lowering (identical forward values in all modes —
+    max over a rectangular window separates exactly per dim):
+      'sas'     one 3D reduce_window; VJP = XLA's 3D select_and_scatter.
+      'mask'    one 3D reduce_window; VJP = k^3-tap equality stencil.
+                MEASURED 2x step-NEGATIVE on i3d (PERF.md ROUND-5c): the
+                fused stencil re-reads the x-sized buffers once PER TAP.
+      'sep'     chain of 1D reduce_windows; VJP = 1D select_and_scatters
+                (each scans a 3-wide window along one dim).
+      'sepmask' chain of 1D pools each with the k-tap stencil VJP.
+    With grad=None the lowering is phase-dependent (module docstring):
+    'sep' when train=True, 'sas' in eval.
     """
     window = tuple(window)
     strides = tuple(strides) if strides is not None else window
     pads = resolve_pads(x.shape[1:4], window, strides, padding)
-    mode = grad or DEFAULT_GRAD
+    mode = grad or (DEFAULT_GRAD if train else EVAL_DEFAULT)
     if mode == "mask":
         return _max_pool_mask_grad(x, window, strides, pads)
     if mode == "sas":
         return _reduce_max(x, window, strides, pads)
+    if mode in ("sep", "sepmask"):
+        for i in _sep_dims(window, strides, pads):
+            w, s, p = _axis_spec(i, window, strides, pads)
+            x = (_max_pool_mask_grad(x, w, s, p) if mode == "sepmask"
+                 else _reduce_max(x, w, s, p))
+        return x
     raise ValueError(f"unknown maxpool grad mode {mode!r}")

@@ -35,8 +35,12 @@ def _tie_free(shape, seed):
     return jnp.asarray((flat / flat.size - 0.5).reshape(shape))
 
 
+MODES = ["mask", "sep", "sepmask"]
+
+
+@pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("window,strides,padding", GEOMETRIES)
-def test_grad_matches_select_and_scatter(window, strides, padding):
+def test_grad_matches_select_and_scatter(window, strides, padding, mode):
     x = _tie_free((2, 5, 9, 9, 3), seed=hash((window, strides)) % 2**31)
 
     def loss(x, grad):
@@ -44,31 +48,49 @@ def test_grad_matches_select_and_scatter(window, strides, padding):
         return jnp.sum(y * jnp.cos(jnp.arange(y.size, dtype=jnp.float32)
                                    .reshape(y.shape)))
 
-    g_mask = jax.grad(lambda x: loss(x, "mask"))(x)
+    g_mode = jax.grad(lambda x: loss(x, mode))(x)
     g_sas = jax.grad(lambda x: loss(x, "sas"))(x)
     # Overlapping windows accumulate multi-win cotangents in a different
     # order than select_and_scatter's scan -> f32 non-associativity only.
-    np.testing.assert_allclose(np.asarray(g_mask), np.asarray(g_sas),
+    np.testing.assert_allclose(np.asarray(g_mode), np.asarray(g_sas),
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("window,strides,padding", GEOMETRIES)
-def test_forward_identical(window, strides, padding):
+def test_forward_identical(window, strides, padding, mode):
     x = _tie_free((2, 5, 9, 9, 3), seed=7)
-    y_mask = max_pool_nthwc(x, window, strides, padding, grad="mask")
+    y_mode = max_pool_nthwc(x, window, strides, padding, grad=mode)
     y_sas = max_pool_nthwc(x, window, strides, padding, grad="sas")
-    np.testing.assert_array_equal(np.asarray(y_mask), np.asarray(y_sas))
+    np.testing.assert_array_equal(np.asarray(y_mode), np.asarray(y_sas))
 
 
-def test_ties_split_evenly():
-    # One window (2,2,2) over a 2x2x2 input with two tied maxima.
+def test_ties_split_evenly_in_mask_mode():
+    # One window (2,2,2) over a 2x2x2 input with two tied maxima: the
+    # 'mask' VJP splits the cotangent evenly (documented semantics).
     x = jnp.zeros((1, 2, 2, 2, 1), jnp.float32)
     x = x.at[0, 0, 0, 0, 0].set(5.0).at[0, 1, 1, 1, 0].set(5.0)
     g = jax.grad(lambda x: jnp.sum(
-        max_pool_nthwc(x, (2, 2, 2), (2, 2, 2), "VALID")))(x)
+        max_pool_nthwc(x, (2, 2, 2), (2, 2, 2), "VALID", grad="mask")))(x)
     assert float(g[0, 0, 0, 0, 0]) == pytest.approx(0.5)
     assert float(g[0, 1, 1, 1, 0]) == pytest.approx(0.5)
     assert float(jnp.sum(g)) == pytest.approx(1.0)
+
+
+def test_phase_dependent_default_lowering():
+    # grad=None: train lowers separably ('sep'), eval to one 3D window
+    # ('sas') — count reduce_window ops in the jaxpr of each.
+    x = _tie_free((1, 4, 8, 8, 2), seed=5)
+
+    def pool(x, train):
+        return max_pool_nthwc(x, (3, 3, 3), (2, 2, 2), "SAME", train=train)
+
+    n_train = str(jax.make_jaxpr(lambda x: pool(x, True))(x)).count(
+        "reduce_window")
+    n_eval = str(jax.make_jaxpr(lambda x: pool(x, False))(x)).count(
+        "reduce_window")
+    assert n_train == 3
+    assert n_eval == 1
 
 
 @pytest.mark.parametrize("window,strides,padding", GEOMETRIES)
