@@ -409,6 +409,18 @@ def main():
 
     i3d_clips, i3d_roof = _safe(_i3d_row, (-1.0, -1.0), "i3d train step")
 
+    # C3D (Tran'15, BASELINE config 1) at its canonical 16x112x112 —
+    # the reference's ORIGINAL backbone. Five 3D max-pools: the round-5
+    # separable train-mode pool lowering applies throughout (its VJP was
+    # the select_and_scatter class measured at up to 33x byte floor on
+    # s3d). Accuracy artifact: ACCURACY_HARD_C3D.json (0.985 top-1).
+    def _c3d_row():
+        clips, _tf, _fl, sec, roof = bench_train_step(
+            batch_size, model_name="c3d")
+        return clips, (roof / sec if sec > 0 else -1.0)
+
+    c3d_clips, c3d_roof = _safe(_c3d_row, (-1.0, -1.0), "c3d train step")
+
     def _loader_row():
         from fastvideotagging_tpu.cli.bench_loader import measure
 
@@ -465,6 +477,8 @@ def main():
             "s3d_roofline_fraction": round(s3d_roof, 4),
             "i3d_clips_per_sec": round(i3d_clips, 2),
             "i3d_roofline_fraction": round(i3d_roof, 4),
+            "c3d_clips_per_sec": round(c3d_clips, 2),
+            "c3d_roofline_fraction": round(c3d_roof, 4),
             "host_decode_clips_per_sec": round(loader_clips, 2),
             "host_decode_row_caveat": (
                 "measured near the END of the bench run on a 1-core host "
